@@ -1,0 +1,247 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from threepu import ops
+from oracles import (fps_oracle, knn_oracle, nn_distance_oracle,
+                     ball_query_oracle, normalize_oracle)
+
+
+class TestPairwiseDist:
+    def test_matches_direct(self, rng):
+        a = rng.standard_normal((2, 50, 3)).astype(np.float32)
+        b = rng.standard_normal((2, 70, 3)).astype(np.float32)
+        d = ops.pairwise_dist2(jnp.asarray(a), jnp.asarray(b))
+        ref = np.sum((a[:, :, None] - b[:, None]) ** 2, -1)
+        np.testing.assert_allclose(np.asarray(d), ref, atol=1e-4)
+
+    def test_direct_exact_zero_on_equal_rows(self, rng):
+        a = rng.standard_normal((1, 8, 3)).astype(np.float32)
+        d = ops.direct_dist2(jnp.asarray(a), jnp.asarray(a))
+        assert np.all(np.diagonal(np.asarray(d), axis1=1, axis2=2) == 0.0)
+
+
+class TestDuplicateMask:
+    def test_marks_later_occurrences(self, rng):
+        pts = rng.standard_normal((20, 3)).astype(np.float32)
+        pts[5] = pts[2]
+        pts[11] = pts[2]
+        pts[17] = pts[9]
+        mask = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
+        expected = np.zeros(20, bool)
+        expected[[5, 11, 17]] = True
+        np.testing.assert_array_equal(mask, expected)
+
+    def test_batched_and_chunked(self, rng):
+        pts = rng.standard_normal((3, 300, 4)).astype(np.float32)
+        pts[1, 250] = pts[1, 3]
+        mask = np.asarray(ops.duplicate_mask(jnp.asarray(pts), chunk=128))
+        assert mask[1, 250] and mask.sum() == 1
+
+
+class TestKnn:
+    def test_matches_oracle(self, rng):
+        q = rng.standard_normal((2, 30, 3)).astype(np.float32)
+        p = rng.standard_normal((2, 100, 3)).astype(np.float32)
+        res = ops.knn_group(jnp.asarray(q), jnp.asarray(p), 5)
+        for b in range(2):
+            nbrs, idx, dist = knn_oracle(q[b], p[b], 5)
+            np.testing.assert_array_equal(np.asarray(res.idx[b]), idx)
+            np.testing.assert_allclose(np.asarray(res.dist2[b]), dist,
+                                       atol=1e-3)
+            np.testing.assert_allclose(np.asarray(res.neighbors[b]), nbrs,
+                                       atol=1e-5)
+
+    def test_unique_pushes_duplicates_last(self, rng):
+        p = rng.standard_normal((1, 40, 3)).astype(np.float32)
+        p[0, 7] = p[0, 3]  # duplicate pair
+        q = p[:, 3:4, :]
+        res = ops.knn_group(jnp.asarray(q), jnp.asarray(p), 40, unique=True)
+        idx = np.asarray(res.idx[0, 0])
+        # first occurrence (3) must come first; duplicate (7) ranks last
+        assert idx[0] == 3
+        assert idx[-1] == 7
+
+    def test_valid_mask_excludes(self, rng):
+        p = rng.standard_normal((1, 50, 3)).astype(np.float32)
+        q = p[:, :4]
+        mask = np.ones((1, 50), bool)
+        mask[0, :25] = False  # first half invalid (incl. the queries)
+        res = ops.knn_group(jnp.asarray(q), jnp.asarray(p), 10,
+                            valid_mask=jnp.asarray(mask))
+        assert np.all(np.asarray(res.idx) >= 25)
+
+    def test_nchw_wrapper_layout(self, rng):
+        q = rng.standard_normal((2, 3, 10)).astype(np.float32)
+        p = rng.standard_normal((2, 3, 40)).astype(np.float32)
+        nbrs, idx, dist = ops.group_knn(4, jnp.asarray(q), jnp.asarray(p),
+                                        unique=False, NCHW=True)
+        assert nbrs.shape == (2, 3, 10, 4)
+        assert idx.shape == (2, 10, 4)
+        assert dist.shape == (2, 10, 4)
+
+
+class TestFps:
+    def test_matches_oracle(self, rng):
+        pts = rng.standard_normal((2, 200, 3)).astype(np.float32)
+        idx = np.asarray(ops.fps_indices(jnp.asarray(pts), 50))
+        for b in range(2):
+            np.testing.assert_array_equal(idx[b], fps_oracle(pts[b], 50))
+
+    def test_first_index_is_zero(self, rng):
+        pts = rng.standard_normal((1, 64, 3)).astype(np.float32)
+        idx = np.asarray(ops.fps_indices(jnp.asarray(pts), 10))
+        assert idx[0, 0] == 0
+
+    def test_valid_mask(self, rng):
+        pts = rng.standard_normal((1, 100, 3)).astype(np.float32)
+        valid = np.ones((1, 100), bool)
+        valid[0, :30] = False
+        idx = np.asarray(ops.fps_indices(jnp.asarray(pts), 20,
+                                         valid_mask=jnp.asarray(valid)))
+        assert np.all(idx >= 30)
+        np.testing.assert_array_equal(
+            idx[0], fps_oracle(pts[0], 20, valid=valid[0]))
+
+    def test_wrapper_gathers_points(self, rng):
+        pts = rng.standard_normal((2, 3, 80)).astype(np.float32)
+        idx, sampled = ops.furthest_point_sample(jnp.asarray(pts), 12)
+        assert sampled.shape == (2, 3, 12)
+        np.testing.assert_allclose(
+            np.asarray(sampled[0, :, 0]), pts[0, :, idx[0, 0]])
+
+    def test_pallas_parity_interpret(self, rng):
+        """Pallas kernel (interpret mode on CPU) matches the XLA path."""
+        from threepu.ops.fps_pallas import fps_pallas
+        import threepu.ops.fps_pallas as fp
+        pts = rng.standard_normal((2, 300, 3)).astype(np.float32)
+        want = np.asarray(ops.fps_indices(jnp.asarray(pts), 40))
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        orig = pl.pallas_call
+        with mock.patch.object(fp.pl, "pallas_call",
+                               lambda *a, **k: orig(*a, interpret=True, **k)):
+            got = np.asarray(fps_pallas(jnp.asarray(pts), 40))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestGather:
+    def test_forward(self, rng):
+        feats = rng.standard_normal((2, 4, 30)).astype(np.float32)
+        idx = rng.integers(0, 30, (2, 7))
+        out = ops.gather_points(jnp.asarray(feats),
+                                jnp.asarray(idx, dtype=jnp.int32))
+        for b in range(2):
+            np.testing.assert_array_equal(np.asarray(out[b]),
+                                          feats[b][:, idx[b]])
+
+    def test_gradient_scatter_add(self, rng):
+        feats = jnp.asarray(rng.standard_normal((1, 2, 5)).astype(np.float32))
+        idx = jnp.asarray([[1, 1, 3]], dtype=jnp.int32)
+
+        def f(x):
+            return jnp.sum(ops.gather_points(x, idx))
+
+        g = np.asarray(jax.grad(f)(feats))
+        expected = np.zeros((1, 2, 5), np.float32)
+        expected[0, :, 1] = 2.0  # index 1 gathered twice
+        expected[0, :, 3] = 1.0
+        np.testing.assert_array_equal(g, expected)
+
+    def test_gradcheck(self, rng):
+        """Finite-difference check mirroring the reference gradcheck
+        (network/operations.py:354-359)."""
+        feats = rng.standard_normal((1, 3, 6)).astype(np.float64)
+        idx = jnp.asarray([[0, 2, 2, 5]], dtype=jnp.int32)
+        v = rng.standard_normal((1, 3, 4))
+
+        def f(x):
+            return jnp.vdot(ops.gather_points(x, idx), jnp.asarray(v))
+
+        g = jax.grad(f)(jnp.asarray(feats))
+        eps = 1e-6
+        for c in range(3):
+            for n in range(6):
+                fp = feats.copy(); fp[0, c, n] += eps
+                fm = feats.copy(); fm[0, c, n] -= eps
+                num = (f(jnp.asarray(fp)) - f(jnp.asarray(fm))) / (2 * eps)
+                np.testing.assert_allclose(g[0, c, n], num, atol=1e-4)
+
+
+class TestBallQuery:
+    def test_matches_oracle(self, rng):
+        pts = rng.uniform(-1, 1, (2, 60, 3)).astype(np.float32)
+        q = rng.uniform(-1, 1, (2, 9, 3)).astype(np.float32)
+        out = np.asarray(ops.ball_query(0.7, 6, jnp.asarray(pts),
+                                        jnp.asarray(q)))
+        for b in range(2):
+            np.testing.assert_array_equal(
+                out[b], ball_query_oracle(0.7, 6, pts[b], q[b]))
+
+    def test_no_hits_returns_zero(self):
+        pts = jnp.ones((1, 10, 3))
+        q = jnp.zeros((1, 2, 3)) + 100.0
+        out = np.asarray(ops.ball_query(0.1, 4, pts, q))
+        np.testing.assert_array_equal(out, np.zeros((1, 2, 4), np.int32))
+
+
+class TestNormalize:
+    def test_matches_oracle(self, rng):
+        pc = rng.standard_normal((3, 40, 3)).astype(np.float32) * 5 + 2
+        out, c, r = ops.normalize_point_batch_cl(jnp.asarray(pc))
+        eo, ec, er = normalize_oracle(pc)
+        np.testing.assert_allclose(np.asarray(out), eo, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), ec, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r), er, atol=1e-5)
+
+    def test_nchw_roundtrip(self, rng):
+        pc = rng.standard_normal((2, 3, 25)).astype(np.float32)
+        out, c, r = ops.normalize_point_batch(jnp.asarray(pc), NCHW=True)
+        assert out.shape == (2, 3, 25)
+        assert c.shape == (2, 3, 1)
+        assert r.shape == (2, 1, 1)
+        restored = np.asarray(out) * np.asarray(r) + np.asarray(c)
+        np.testing.assert_allclose(restored, pc, atol=1e-5)
+
+
+class TestNnDistance:
+    def test_matches_oracle(self, rng):
+        a = rng.standard_normal((2, 33, 3)).astype(np.float32)
+        b = rng.standard_normal((2, 47, 3)).astype(np.float32)
+        d1, i1, d2, i2 = ops.nn_distance(jnp.asarray(a), jnp.asarray(b),
+                                         16)
+        for k in range(2):
+            ed1, ei1, ed2, ei2 = nn_distance_oracle(a[k], b[k])
+            np.testing.assert_allclose(np.asarray(d1[k]), ed1, atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(i1[k]), ei1)
+            np.testing.assert_allclose(np.asarray(d2[k]), ed2, atol=1e-4)
+            np.testing.assert_array_equal(np.asarray(i2[k]), ei2)
+
+    def test_gradcheck(self, rng):
+        """Finite differences, mirroring the reference gradcheck at
+        network/model_loss.py:88-99."""
+        a = rng.standard_normal((1, 12, 3))
+        b = rng.standard_normal((1, 15, 3))
+
+        def loss(x1, x2):
+            d1, _, d2, _ = ops.nn_distance(x1, x2, 8)
+            return jnp.sum(d1) + 0.7 * jnp.sum(d2)
+
+        ga, gb = jax.grad(loss, argnums=(0, 1))(jnp.asarray(a),
+                                                jnp.asarray(b))
+        eps = 1e-6
+        for arr, g, which in ((a, ga, 0), (b, gb, 1)):
+            flat = arr.copy()
+            for i in [0, 5, 11]:
+                for c in range(3):
+                    p = flat.copy(); p[0, i, c] += eps
+                    m = flat.copy(); m[0, i, c] -= eps
+                    args_p = (jnp.asarray(p), jnp.asarray(b)) if which == 0 \
+                        else (jnp.asarray(a), jnp.asarray(p))
+                    args_m = (jnp.asarray(m), jnp.asarray(b)) if which == 0 \
+                        else (jnp.asarray(a), jnp.asarray(m))
+                    num = (loss(*args_p) - loss(*args_m)) / (2 * eps)
+                    np.testing.assert_allclose(
+                        np.asarray(g)[0, i, c], num, atol=1e-4,
+                        err_msg=f"arg{which} point {i} coord {c}")

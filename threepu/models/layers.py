@@ -1,0 +1,154 @@
+"""Network building blocks.
+
+TPU-native re-design of ``network/layers.py``: the reference's 1x1
+``Conv1d/Conv2d`` stacks become plain dense contractions over a
+channels-last ``(B, N, C)`` layout, which XLA maps straight onto the MXU
+(``N x C @ C x C'``).  ``DenseEdgeConv`` keeps the reference's exact
+dense-connectivity schedule (``network/layers.py:44-64``):
+
+    i == 0      : y = concat(relu(mlp0(edge)), tile(x))
+    0 < i < n-1 : y = concat(relu(mlp_i(y)), y)
+    i == n-1    : y = concat(mlp_last(y), y)      # no activation
+    out         = max over the k neighbour axis
+
+so output channels = in + 2*growth for n=... concretely
+``in_channels + growth*n + in_channels`` collapses to the reference's
+24 -> 60 per block (with growth 12, n 3), giving the Level channel
+schedule 24/84/144/204/264.
+
+Weight-compatible with the reference: each ``mlps_i`` dense kernel is the
+transposed, squeezed 1x1 conv weight (see ``threepu.io.checkpoint``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from threepu.ops import knn_group, fps_indices, gather_nd
+
+Array = jax.Array
+
+
+def _xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+class DenseConv(nn.Module):
+    """1x1 convolution equivalent: a dense layer over the channel axis
+    with optional activation (reference ``layers.Conv1d/Conv2d``,
+    ``network/layers.py:115-204``; normalization variants are accepted
+    for API parity but the reference never enables them)."""
+
+    features: int
+    activation: Optional[str] = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias,
+                     kernel_init=_xavier_uniform(),
+                     bias_init=nn.initializers.zeros,
+                     name="conv")(x)
+        if self.activation is None:
+            return x
+        if self.activation == "relu":
+            return nn.relu(x)
+        if self.activation == "elu":
+            return nn.elu(x)
+        if self.activation == "lrelu":
+            return nn.leaky_relu(x, negative_slope=0.1)
+        raise ValueError(f"unsupported activation {self.activation!r}")
+
+
+class DenseEdgeConv(nn.Module):
+    """Densely-connected edge convolution (``network/layers.py:6-64``).
+
+    Builds a kNN graph in *feature* space (k+1 neighbours, self dropped),
+    forms edge features ``[x_center, x_nn - x_center]`` and runs the
+    dense-concat MLP schedule, max-pooling over neighbours.
+    """
+
+    growth_rate: int
+    n: int
+    k: int
+
+    def get_local_graph(self, x: Array, idx: Optional[Array] = None):
+        """x: (B, N, C) -> edge features (B, N, k, 2C), idx (B, N, k)."""
+        if idx is None:
+            res = knn_group(x, x, self.k + 1, unique=True)
+            idx = res.idx[..., 1:]
+            nbrs = res.neighbors[..., 1:, :]
+        else:
+            nbrs = jnp.take_along_axis(
+                x[..., None, :, :], idx[..., :, :, None], axis=-2)
+        center = jnp.broadcast_to(x[..., :, None, :], nbrs.shape)
+        edge = jnp.concatenate([center, nbrs - center], axis=-1)
+        return edge, idx
+
+    @nn.compact
+    def __call__(self, x: Array, idx: Optional[Array] = None
+                 ) -> Tuple[Array, Array]:
+        for i in range(self.n):
+            mlp = nn.Dense(self.growth_rate, kernel_init=_xavier_uniform(),
+                           bias_init=nn.initializers.zeros,
+                           name=f"mlps_{i}")
+            if i == 0:
+                y, idx = self.get_local_graph(x, idx=idx)
+                tiled = jnp.broadcast_to(
+                    x[..., :, None, :], x.shape[:-1] + (self.k, x.shape[-1]))
+                y = jnp.concatenate([nn.relu(mlp(y)), tiled], axis=-1)
+            elif i == self.n - 1:
+                y = jnp.concatenate([mlp(y), y], axis=-1)
+            else:
+                y = jnp.concatenate([nn.relu(mlp(y)), y], axis=-1)
+        y = jnp.max(y, axis=-2)
+        return y, idx
+
+
+class SampledDenseEdgeConv(nn.Module):
+    """Edge conv from FPS-sampled query points against the full set
+    (``network/layers.py:67-112``); used by :class:`AdaptiveLevel`.
+
+    ``nsample == 1`` collapses to the point nearest the centroid.
+    """
+
+    growth_rate: int
+    n: int
+    k: int
+
+    @nn.compact
+    def __call__(self, x: Array, nsample: int, xyz: Array):
+        """x: (B, N, C) features; xyz: (B, N, 3).  Returns
+        (y (B, nsample, C'), sampled_xyz (B, nsample, 3), sampled_idx)."""
+        if nsample == 1:
+            centroid = jnp.mean(xyz, axis=-2, keepdims=True)
+            res = knn_group(centroid, xyz, 1, unique=False)
+            sampled_xyz = res.neighbors[..., 0, :]
+            sampled_idx = res.idx[..., 0]
+        else:
+            sampled_idx = fps_indices(xyz, nsample)
+            sampled_xyz = gather_nd(xyz, sampled_idx)
+        sampled_x = gather_nd(x, sampled_idx)
+
+        for i in range(self.n):
+            mlp = nn.Dense(self.growth_rate, kernel_init=_xavier_uniform(),
+                           bias_init=nn.initializers.zeros,
+                           name=f"mlps_{i}")
+            if i == 0:
+                res = knn_group(sampled_x, x, self.k + 1, unique=True)
+                nbrs = res.neighbors[..., 1:, :]
+                center = jnp.broadcast_to(
+                    sampled_x[..., :, None, :], nbrs.shape)
+                y = jnp.concatenate([center, nbrs - center], axis=-1)
+                tiled = jnp.broadcast_to(center, nbrs.shape)
+                y = jnp.concatenate([nn.relu(mlp(y)), tiled], axis=-1)
+            elif i == self.n - 1:
+                y = jnp.concatenate([mlp(y), y], axis=-1)
+            else:
+                y = jnp.concatenate([nn.relu(mlp(y)), y], axis=-1)
+        y = jnp.max(y, axis=-2)
+        return y, sampled_xyz, sampled_idx

@@ -1,0 +1,108 @@
+"""Furthest point sampling (FPS).
+
+TPU-native equivalent of the reference CUDA kernel
+(``sampling/sampling_cuda.cu:103-174``): iteratively pick the point that
+maximises the minimum distance to the already-selected set, seeded with
+index 0 and a min-distance carry initialised to 1e10
+(``network/operations.py:288-295``).
+
+Two implementations share exact selection semantics:
+
+- :func:`fps_indices` — pure XLA ``lax.scan``; runs on any backend and is
+  the oracle-checked fallback.
+- :func:`threepu.ops.fps_pallas.fps_pallas` — a Pallas TPU kernel keeping
+  the point set and the min-distance carry resident in VMEM (the CUDA
+  kernel's shared-memory trick, writ large), used automatically on TPU
+  for large inputs.
+
+An optional ``valid_mask`` makes padded/outlier points unselectable — the
+static-shape replacement for the reference's dynamic outlier filtering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INIT_DIST = 1e10
+
+
+@partial(jax.jit, static_argnames=("m",))
+def fps_indices(points: jax.Array, m: int,
+                valid_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Select ``m`` indices by furthest point sampling.
+
+    Args:
+      points: ``(B, N, 3)`` (any trailing channel count works).
+      m: number of samples (static).
+      valid_mask: optional ``(B, N)`` boolean; invalid points are never
+        selected.  The seed is the first valid index (index 0 when no
+        mask, matching the CUDA kernel's ``idx[0] = 0``).
+
+    Returns:
+      ``(B, N)``-indexed ``(B, m)`` int32 indices.
+    """
+    b, n, _ = points.shape
+    points = points.astype(jnp.float32)
+    if valid_mask is None:
+        seed = jnp.zeros((b,), jnp.int32)
+        temp0 = jnp.full((b, n), _INIT_DIST, jnp.float32)
+    else:
+        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32)
+        temp0 = jnp.where(valid_mask, _INIT_DIST, -jnp.inf)
+
+    def step(carry, _):
+        temp, last_idx = carry
+        last_pt = jnp.take_along_axis(
+            points, last_idx[:, None, None], axis=1)      # (B, 1, 3)
+        d = jnp.sum((points - last_pt) ** 2, axis=-1)      # (B, N)
+        temp = jnp.minimum(temp, d)
+        nxt = jnp.argmax(temp, axis=-1).astype(jnp.int32)
+        return (temp, nxt), nxt
+
+    if m == 1:
+        return seed[:, None]
+    (_, _), rest = jax.lax.scan(step, (temp0, seed), None, length=m - 1)
+    return jnp.concatenate([seed[:, None], rest.T], axis=1)
+
+
+def furthest_point_sample(
+    xyz: jax.Array, npoint: int, NCHW: bool = True,
+    valid_mask: Optional[jax.Array] = None,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Reference-compatible wrapper (``network/operations.py:303-323``).
+
+    Args:
+      xyz: ``(B, 3, N)`` if ``NCHW`` else ``(B, N, 3)``.
+      npoint: number of samples.
+
+    Returns:
+      ``(idx (B, npoint) int32, sampled points)`` with the points in the
+      same layout as the input.
+    """
+    if xyz.ndim != 3:
+        raise ValueError(f"expected 3D tensor, got shape {xyz.shape}")
+    pts = jnp.swapaxes(xyz, -1, -2) if NCHW else xyz
+    if pts.shape[-1] != 3:
+        raise ValueError("furthest sampling is implemented for 3D points")
+    idx = _dispatch_fps(pts, npoint, valid_mask, use_pallas)
+    sampled = jnp.take_along_axis(pts, idx[..., None], axis=-2)
+    if NCHW:
+        sampled = jnp.swapaxes(sampled, -1, -2)
+    return idx, sampled
+
+
+def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
+    if use_pallas is None:
+        use_pallas = (
+            pts.shape[-2] >= 4096
+            and jax.default_backend() == "tpu"
+        )
+    if use_pallas:
+        from threepu.ops.fps_pallas import fps_pallas
+        return fps_pallas(pts, npoint, valid_mask=valid_mask)
+    return fps_indices(pts, npoint, valid_mask=valid_mask)

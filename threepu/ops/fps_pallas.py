@@ -1,0 +1,116 @@
+"""Pallas TPU kernel for furthest point sampling.
+
+TPU-native re-design of the reference CUDA kernel
+(``sampling/sampling_cuda.cu:103-174``).  The CUDA version caches the
+first 512 points in shared memory and does a block-wide tree max
+reduction per step; here the *entire* point set, the min-distance carry
+and the selection field live in VMEM for the whole kernel, so each of the
+``m`` sequential steps is a handful of vectorised passes over ``(S, 128)``
+tiles with zero HBM traffic.
+
+Selection order is recorded as a 1-based iteration number per point
+(avoiding per-step dynamic scalar stores); the caller recovers the
+ordered index list with one stable argsort.  Tie-breaking: lowest linear
+index, identical to ``jnp.argmax`` in :func:`threepu.ops.fps.fps_indices`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_SUBLANES = 8
+_INIT_DIST = 1e10
+_BIG_I32 = 2**30  # plain int: a jnp scalar would be a captured constant
+
+
+def _fps_kernel(m, s, seed_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
+                iter_ref, temp_ref):
+    b = pl.program_id(0)
+    xs = xs_ref[0]
+    ys = ys_ref[0]
+    zs = zs_ref[0]
+    temp_ref[:] = temp0_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, _LANES), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, _LANES), 1)
+    lin = rows * _LANES + cols
+
+    def coords_of(i):
+        sel = (lin == i).astype(jnp.float32)
+        return (jnp.sum(xs * sel), jnp.sum(ys * sel), jnp.sum(zs * sel))
+
+    seed = seed_ref[b]
+    iter_ref[0] = jnp.where(lin == seed, jnp.int32(1), jnp.int32(0))
+
+    def body(j, carry):
+        cx, cy, cz = carry
+        dx = xs - cx
+        dy = ys - cy
+        dz = zs - cz
+        d = dx * dx + dy * dy + dz * dz
+        t = jnp.minimum(temp_ref[:], d)
+        temp_ref[:] = t
+        mx = jnp.max(t)
+        win = jnp.min(jnp.where(t == mx, lin, _BIG_I32))
+        iter_ref[0] = jnp.where(lin == win, j + 1, iter_ref[0])
+        return coords_of(win)
+
+    if m > 1:
+        jax.lax.fori_loop(1, m, body, coords_of(seed))
+
+
+@partial(jax.jit, static_argnames=("m",))
+def fps_pallas(points: jax.Array, m: int,
+               valid_mask: Optional[jax.Array] = None) -> jax.Array:
+    """FPS indices via the Pallas kernel.  Same contract as
+    :func:`threepu.ops.fps.fps_indices`: ``points (B, N, 3)`` -> ``(B, m)``
+    int32 in selection order, seeded at the first valid index.
+    """
+    b, n, c = points.shape
+    assert c == 3, "fps_pallas is implemented for 3D points"
+    points = points.astype(jnp.float32)
+    n_pad = -(-n // (_LANES * _SUBLANES)) * (_LANES * _SUBLANES)
+    s = n_pad // _LANES
+
+    planes = jnp.moveaxis(points, -1, 1)                      # (B, 3, N)
+    planes = jnp.pad(planes, ((0, 0), (0, 0), (0, n_pad - n)))
+    xs, ys, zs = (planes[:, i].reshape(b, s, _LANES) for i in range(3))
+
+    temp0 = jnp.full((b, n), _INIT_DIST, jnp.float32)
+    if valid_mask is not None:
+        temp0 = jnp.where(valid_mask, temp0, -jnp.inf)
+        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32)
+    else:
+        seed = jnp.zeros((b,), jnp.int32)
+    temp0 = jnp.pad(temp0, ((0, 0), (0, n_pad - n)),
+                    constant_values=-jnp.inf).reshape(b, s, _LANES)
+
+    plane_spec = pl.BlockSpec((1, s, _LANES), lambda i, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[plane_spec] * 4,
+        out_specs=pl.BlockSpec((1, s, _LANES), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((s, _LANES), jnp.float32)],
+    )
+    iter_field = pl.pallas_call(
+        partial(_fps_kernel, m, s),
+        out_shape=jax.ShapeDtypeStruct((b, s, _LANES), jnp.int32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=22 * m * n_pad, bytes_accessed=5 * n_pad * 4,
+            transcendentals=0),
+    )(seed, xs, ys, zs, temp0)
+
+    iter_field = iter_field.reshape(b, n_pad)[:, :n]
+    order_key = jnp.where(iter_field > 0, iter_field, _BIG_I32)
+    return jnp.argsort(order_key, axis=-1)[:, :m].astype(jnp.int32)

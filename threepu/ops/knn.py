@@ -1,0 +1,99 @@
+"""k-nearest-neighbour grouping.
+
+Equivalent capability of the reference's ``group_knn``
+(reference: ``network/operations.py:165-216``) and of the dead faiss KNN
+path (``network/operations.py:33-106``): a dense squared-distance matrix
+(MXU matmul) followed by top-k.  Differences from the reference, by
+design:
+
+- the ``unique=True`` duplicate handling runs fully on device
+  (:func:`threepu.ops.distances.duplicate_mask`) instead of a host
+  ``np.unique`` round trip per batch element,
+- an optional ``valid_mask`` supports static-shape pipelines: masked
+  points get ``+inf``-like distance so they are never selected (the TPU
+  replacement for the reference's dynamic-shape outlier filtering at
+  ``network/upsampler.py:63-75``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from threepu.ops.distances import pairwise_dist2, duplicate_mask
+
+
+class KnnResult(NamedTuple):
+    neighbors: jax.Array  # (..., M, k, C) grouped neighbour coordinates
+    idx: jax.Array        # (..., M, k) int32 indices into the point set
+    dist2: jax.Array      # (..., M, k) squared distances, ascending
+
+
+def knn_group(
+    query: jax.Array,
+    points: jax.Array,
+    k: int,
+    *,
+    unique: bool = False,
+    valid_mask: Optional[jax.Array] = None,
+) -> KnnResult:
+    """Group the ``k`` nearest ``points`` around each ``query``.
+
+    Args:
+      query: ``(..., M, C)``.
+      points: ``(..., N, C)``.
+      k: neighbourhood size (static).
+      unique: push exact duplicate rows of ``points`` (all but the first
+        occurrence) behind every distinct point in the ranking, matching
+        the reference's ``np.unique`` masking semantics.
+      valid_mask: optional boolean ``(..., N)``; invalid points rank last.
+
+    Returns:
+      :class:`KnnResult` with neighbours sorted by ascending distance.
+    """
+    n = points.shape[-2]
+    if k > n:
+        raise ValueError(f"k={k} exceeds point count {n}")
+    d = pairwise_dist2(query, points)  # (..., M, N)
+    penalty = None
+    if unique:
+        dup = duplicate_mask(points)
+        penalty = dup
+    if valid_mask is not None:
+        invalid = ~valid_mask
+        penalty = invalid if penalty is None else (penalty | invalid)
+    if penalty is not None:
+        # Reference adds max(D) to duplicate columns; a large finite bump
+        # keeps ordering semantics without inf/nan hazards.
+        bump = jnp.max(d, axis=(-1, -2), keepdims=True) + 1.0
+        d = d + bump * penalty[..., None, :].astype(d.dtype)
+
+    neg_top, idx = jax.lax.top_k(-d, k)  # (..., M, k)
+    idx = idx.astype(jnp.int32)
+    nbrs = jnp.take_along_axis(
+        points[..., None, :, :],  # (..., 1, N, C)
+        idx[..., :, :, None],     # (..., M, k, 1)
+        axis=-2,
+    )
+    return KnnResult(neighbors=nbrs, idx=idx, dist2=-neg_top)
+
+
+def group_knn(k: int, query: jax.Array, points: jax.Array,
+              unique: bool = True, NCHW: bool = True):
+    """Reference-compatible wrapper (``network/operations.py:165``).
+
+    Args/returns follow the reference convention: with ``NCHW=True``
+    inputs are ``(B, C, M)`` / ``(B, C, N)`` and neighbours come back as
+    ``(B, C, M, k)``; otherwise channels-last.  ``idx``/``dist2`` are
+    always ``(B, M, k)``.
+    """
+    if NCHW:
+        query = jnp.swapaxes(query, -1, -2)
+        points = jnp.swapaxes(points, -1, -2)
+    res = knn_group(query, points, k, unique=unique)
+    nbrs = res.neighbors
+    if NCHW:
+        nbrs = jnp.moveaxis(nbrs, -1, -3)  # (B, C, M, k)
+    return nbrs, res.idx, res.dist2
