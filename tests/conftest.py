@@ -15,6 +15,10 @@ import pytest
 
 # float64 so finite-difference gradient checks are meaningful
 jax.config.update("jax_enable_x64", True)
+# this jax build defaults matmuls to bf16 passes (even on CPU); pin full
+# precision so numpy oracles are meaningful.  Production keeps the fast
+# default for network layers; geometry ops force HIGHEST internally.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 @pytest.fixture

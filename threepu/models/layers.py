@@ -11,10 +11,9 @@ dense-connectivity schedule (``network/layers.py:44-64``):
     i == n-1    : y = concat(mlp_last(y), y)      # no activation
     out         = max over the k neighbour axis
 
-so output channels = in + 2*growth for n=... concretely
-``in_channels + growth*n + in_channels`` collapses to the reference's
-24 -> 60 per block (with growth 12, n 3), giving the Level channel
-schedule 24/84/144/204/264.
+so output channels = in_channels + growth*n (24 -> 60 with growth 12,
+n 3), giving the Level channel schedule 24/84/144/204/264 after the
+per-block concats.
 
 Weight-compatible with the reference: each ``mlps_i`` dense kernel is the
 transposed, squeezed 1x1 conv weight (see ``threepu.io.checkpoint``).

@@ -202,8 +202,17 @@ class Net(nn.Module):
         ratio = ratio or self.max_up_ratio
         if train:
             assert gt is not None, "training requires gt"
-            return self._forward_train(xyz, ratio, gt)
-        return self.upsample(xyz, ratio)
+            out = self._forward_train(xyz, ratio, gt)
+        else:
+            out = self.upsample(xyz, ratio)
+        if self.is_initializing():
+            # touch levels the example ratio didn't reach so the param
+            # tree is complete whatever ratio the net is later run at
+            # (level param shapes are input-size independent)
+            used = int(math.log(ratio, self.step_ratio))
+            for l in range(used, self.num_levels):
+                self.levels[l](xyz, xyz, None)
+        return out
 
     def _forward_train(self, xyz: Array, ratio: int, gt: Array):
         num_levels = int(math.log(ratio, self.step_ratio))
