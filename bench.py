@@ -1,0 +1,79 @@
+"""Headline benchmark: upsampled points/sec/chip at 16x (5000 -> 80k).
+
+The reference publishes no numbers (BASELINE.md); the baseline config is
+its canonical eval (``Readme.md:31``): 5000-point shapes, 312-point
+patches, 16x, patch_num_ratio 3 — i.e. the full ``test()`` pipeline of
+``main.py:333-389`` end to end (seed FPS, 48-patch grouping, 4-level
+cascade with re-patching/merging, final 80k FPS re-stitch) on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is 1.0: the reference repo ships no measured number to
+normalise against (see BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from threepu.models import Net
+    from threepu.inference import upsample_point_cloud
+
+    n_shape, ratio, num_point = 5000, 16, 312
+    num_out = n_shape * ratio
+
+    net = Net(max_up_ratio=16, step_ratio=2, knn=32, growth_rate=12,
+              dense_n=3, max_num_point=312, fm_knn=5)
+    rng = np.random.default_rng(0)
+    shape = rng.standard_normal((n_shape, 3)).astype(np.float32)
+    shape /= np.abs(shape).max()
+    xyz = jnp.asarray(shape)
+    gt = jnp.asarray(
+        rng.standard_normal((1, num_point * ratio, 3)).astype(np.float32))
+    ex = jnp.asarray(
+        rng.standard_normal((1, num_point, 3)).astype(np.float32))
+    params = net.init({"params": jax.random.PRNGKey(0),
+                       "patch": jax.random.PRNGKey(1)},
+                      ex, ratio, gt, train=True)["params"]
+
+    def run():
+        out = upsample_point_cloud(net, params, xyz, ratio, num_point,
+                                   num_out, chunk=8)
+        out.block_until_ready()
+        return out
+
+    t0 = time.time()
+    out = run()  # compile + first run
+    compile_s = time.time() - t0
+    assert out.shape == (num_out, 3), out.shape
+    assert bool(jnp.isfinite(out).all())
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    pps = num_out / best
+
+    print(json.dumps({
+        "metric": "upsampled_points_per_sec_per_chip_16x_5000to80k",
+        "value": round(pps, 1),
+        "unit": "points/sec",
+        "vs_baseline": 1.0,
+        "detail": {
+            "wall_s_per_shape": round(best, 4),
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

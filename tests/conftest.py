@@ -19,6 +19,9 @@ jax.config.update("jax_enable_x64", True)
 # precision so numpy oracles are meaningful.  Production keeps the fast
 # default for network layers; geometry ops force HIGHEST internally.
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: repeat test runs skip XLA recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 
 @pytest.fixture

@@ -1,0 +1,121 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from threepu.models import Net
+from threepu.inference import upsample_point_cloud, upsample_shape, plan_patches
+from threepu.parallel import (make_mesh, make_sharded_upsampler,
+                              make_sharded_train_step)
+from threepu.train.model import create_train_state, make_optimizer, train_step
+
+
+def _tiny_net():
+    return Net(max_up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+               dense_n=2, max_num_point=64, fm_knn=3)
+
+
+@pytest.fixture(scope="module")
+def net_and_params():
+    net = _tiny_net()
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.standard_normal((1, 16, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+    params = net.init({"params": jax.random.PRNGKey(0),
+                       "patch": jax.random.PRNGKey(1)},
+                      xyz, 4, gt, train=True)["params"]
+    return net, params
+
+
+@pytest.fixture(scope="module")
+def shape():
+    rng = np.random.default_rng(1)
+    pts = rng.standard_normal((128, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)  # unit sphere
+    return pts
+
+
+class TestPlanPatches:
+    def test_reference_count(self):
+        # main.py:225 -> int(5000 / 312 * 3) = 48
+        n, padded, chunk = plan_patches(5000, 312, 3.0, 8)
+        assert n == 48 and padded == 48 and chunk == 8
+
+    def test_padding(self):
+        n, padded, chunk = plan_patches(5000, 312, 3.0, 10)
+        assert n == 48 and padded == 50 and chunk == 10
+
+
+class TestUpsamplePointCloud:
+    def test_output_shape_and_frame(self, net_and_params, shape):
+        net, params = net_and_params
+        out = upsample_point_cloud(net, params, jnp.asarray(shape), 4,
+                                   num_point=16, num_out=512, chunk=4)
+        out = np.asarray(out)
+        assert out.shape == (512, 3)
+        # stays near the unit sphere (residual net on normalized patches)
+        r = np.linalg.norm(out, axis=-1)
+        assert r.max() < 3.0 and np.isfinite(out).all()
+
+    def test_chunking_invariant(self, net_and_params, shape):
+        """Chunk size must not change the result (pure reshaping)."""
+        net, params = net_and_params
+        a = upsample_point_cloud(net, params, jnp.asarray(shape), 2,
+                                 num_point=16, num_out=256, chunk=4)
+        b = upsample_point_cloud(net, params, jnp.asarray(shape), 2,
+                                 num_point=16, num_out=256, chunk=12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_host_wrapper(self, net_and_params, shape):
+        net, params = net_and_params
+        inp, up = upsample_shape(net, params, shape * 5 + 2, 2,
+                                 num_point=16, chunk=4)
+        assert up.shape == (256, 3)
+        # output in the ORIGINAL frame (denormalized)
+        assert np.abs(up.mean(0) - 2).max() < 2.0
+
+    def test_dropout_path(self, net_and_params, shape):
+        net, params = net_and_params
+        inp, up = upsample_shape(net, params, shape, 2, num_point=16,
+                                 chunk=4, drop_out=0.5)
+        assert inp.shape == (64, 3)
+        assert up.shape == (128, 3)
+
+
+class TestShardedInference:
+    def test_matches_single_device(self, net_and_params, shape):
+        net, params = net_and_params
+        mesh = make_mesh(8)
+        single = upsample_point_cloud(net, params, jnp.asarray(shape), 2,
+                                      num_point=16, num_out=256, chunk=24)
+        num_patches = plan_patches(128, 16, 3.0)[0]
+        sharded_fn = make_sharded_upsampler(net, mesh, 2, 16, num_patches,
+                                            256)
+        sharded = sharded_fn(params, jnp.asarray(shape))
+        np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
+                                   atol=1e-4)
+
+
+class TestShardedTrain:
+    def test_matches_single_device(self):
+        rng = np.random.default_rng(0)
+        inp = jnp.asarray(rng.standard_normal((8, 16, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+        net = _tiny_net()
+        tx = make_optimizer(1e-3)
+        state_a = create_train_state(net, jax.random.PRNGKey(0), inp, gt,
+                                     4, tx=tx)
+        state_b = jax.tree.map(lambda x: x.copy(), state_a)
+
+        key = jax.random.PRNGKey(5)
+        state_a, cd_a = train_step(net, tx, state_a, key, inp, gt, 4)
+
+        mesh = make_mesh(8)
+        sharded = make_sharded_train_step(net, tx, mesh)
+        state_b, cd_b = sharded(net, tx, state_b, key, inp, gt, 4)
+
+        np.testing.assert_allclose(float(cd_a), float(cd_b), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(state_a.params),
+                        jax.tree.leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)

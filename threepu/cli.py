@@ -1,0 +1,229 @@
+"""Command-line interface.
+
+Mirrors the reference flag surface and phase dispatch (``main.py:19-77,
+392-424``): ``--phase {train,test,vis}``, the same 27 flags with the
+same defaults (including flags the reference declares but never uses —
+``--model``, ``--root_dir``, ``--record_data``, ``--block_n``,
+``--restore_epoch``, ``--fidelity_weight`` — kept for drop-in
+compatibility), the same derived ``NUM_POINT`` rule (``main.py:87``) and
+the same result-directory naming ``p{N}_s{N}_{clean|s####}[_d##]``
+(``main.py:392-414``).
+
+Run as ``python -m threepu.cli ...`` or via the ``threepu`` console
+entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from glob import glob
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("threepu")
+    p.add_argument("--phase", default="test",
+                   help="train or test or vis [default: test]")
+    p.add_argument("--device", type=int, default=0,
+                   help="device ordinal to use (reference: --gpu)")
+    p.add_argument("--gpu", type=int, default=0,
+                   help="alias of --device for drop-in compatibility")
+    p.add_argument("--id", default="demo",
+                   help="experiment name, prepended to log_dir")
+    p.add_argument("--log_dir", default="./model", help="Log dir")
+    p.add_argument("--model", default="model_microscope",
+                   help="(unused, reference compatibility)")
+    p.add_argument("--root_dir", default="../",
+                   help="(unused, reference compatibility)")
+    p.add_argument("--result_dir", help="result directory")
+    p.add_argument("--ckpt", help="model to restore from (.npz or .pth)")
+    p.add_argument("--num_point", type=int, help="patch point number")
+    p.add_argument("--num_shape_point", type=int,
+                   help="number of points per shape")
+    p.add_argument("--up_ratio", type=int, default=16,
+                   help="upsampling ratio [default: 16]")
+    p.add_argument("--max_epoch", type=int, default=160)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--h5_data", help="h5 file for training")
+    p.add_argument("--record_data",
+                   help="(unused, reference compatibility)")
+    p.add_argument("--test_data", help="test data glob path")
+    p.add_argument("--lr_init", type=float, default=0.0005)
+    p.add_argument("--restore_epoch", type=int,
+                   help="(unused, reference compatibility)")
+    p.add_argument("--stage_steps", type=int, default=15000,
+                   help="updates per curriculum stage")
+    p.add_argument("--step_ratio", type=int, default=2)
+    p.add_argument("--patch_num_ratio", type=float, default=3)
+    p.add_argument("--jitter", action="store_true")
+    p.add_argument("--jitter_sigma", type=float, default=0.0025)
+    p.add_argument("--jitter_max", type=float, default=0.005)
+    p.add_argument("--drop_out", type=float, default=1.0)
+    p.add_argument("--knn", type=int, default=32)
+    p.add_argument("--dense_n", type=int, default=3)
+    p.add_argument("--block_n", type=int, default=3,
+                   help="(unused, reference compatibility)")
+    p.add_argument("--fm_knn", type=int, default=5)
+    p.add_argument("--growth_rate", type=int, default=12)
+    p.add_argument("--cd_threshold", type=float, default=2.0)
+    p.add_argument("--fidelity_weight", type=float, default=50.0,
+                   help="(declared-but-unused in the reference, "
+                        "main.py:74-75; same here)")
+    p.add_argument("--loss_weight_mode", default="floored",
+                   choices=["floored", "reference"],
+                   help="per-ratio loss weight: 'reference' reproduces "
+                        "model.py:72 exactly (zero at max ratio)")
+    p.add_argument("--chunk", type=int, default=8,
+                   help="patch chunk size for inference memory bounding")
+    p.add_argument("--profile_dir",
+                   help="write a jax.profiler trace of the first shape")
+    return p
+
+
+def result_path_for(flags) -> str:
+    """Result dir naming (``main.py:392-414``)."""
+    num_point = flags.num_point or (
+        int(flags.num_shape_point * flags.drop_out)
+        if flags.num_shape_point else None)
+    parts = []
+    parts.append(f"p{num_point}" if num_point is not None else "pWhole")
+    parts.append(f"s{flags.num_shape_point}"
+                 if flags.num_shape_point is not None else "sWhole")
+    if flags.jitter:
+        parts.append("s{}".format(
+            f"{flags.jitter_sigma:.4f}".replace(".", "")))
+    else:
+        parts.append("clean")
+    if flags.drop_out < 1:
+        parts.append("d{}".format(f"{flags.drop_out:.2f}".replace(".", "")))
+    model_dir = os.path.join(flags.log_dir, flags.id)
+    return flags.result_dir or os.path.join(
+        model_dir, "result", f"x{flags.up_ratio}", "_".join(parts))
+
+
+def _build_net(flags):
+    from threepu.models import Net
+    return Net(max_up_ratio=flags.up_ratio, step_ratio=flags.step_ratio,
+               knn=flags.knn, growth_rate=flags.growth_rate,
+               dense_n=flags.dense_n, fm_knn=flags.fm_knn)
+
+
+def _load_params(flags, net):
+    import jax
+    import jax.numpy as jnp
+    from threepu.io import load_checkpoint, import_pth
+    from threepu.utils import logger
+
+    num_point = flags.num_point or int(
+        flags.num_shape_point * flags.drop_out)
+    rng = np.random.default_rng(0)
+    ex = jnp.asarray(rng.standard_normal(
+        (1, min(num_point, 312), 3)).astype(np.float32))
+    gt = jnp.asarray(rng.standard_normal(
+        (1, ex.shape[1] * flags.up_ratio, 3)).astype(np.float32))
+    params = net.init({"params": jax.random.PRNGKey(0),
+                       "patch": jax.random.PRNGKey(1)},
+                      ex, flags.up_ratio, gt, train=True)["params"]
+    if flags.ckpt:
+        loader = import_pth if flags.ckpt.endswith(".pth") \
+            else load_checkpoint
+        restored, step = loader(flags.ckpt, {"params": params})
+        params = restored["params"]
+        logger.info(f"restored {flags.ckpt} (step {step})")
+    return params
+
+
+def run_test(flags, result_dir: str) -> None:
+    """Upsample every file matching --test_data (``main.py:333-389``)."""
+    from threepu.inference import upsample_shape
+    from threepu.io import load, save_ply
+    from threepu.utils import logger
+
+    net = _build_net(flags)
+    params = _load_params(flags, net)
+    num_point = flags.num_point or int(
+        flags.num_shape_point * flags.drop_out)
+
+    files = sorted(glob(flags.test_data, recursive=True))
+    if not files:
+        logger.warn(f"no files match {flags.test_data}")
+        return
+    for i, path in enumerate(files):
+        folder = os.path.basename(os.path.dirname(path))
+        out_path = os.path.join(result_dir, folder,
+                                os.path.basename(path)[:-4] + ".ply")
+        data = load(path, flags.num_shape_point)
+        logger.info(os.path.basename(path))
+        if flags.profile_dir and i == 0:
+            import jax
+            with jax.profiler.trace(flags.profile_dir):
+                start = time.time()
+                inp, up = upsample_shape(
+                    net, params, data, flags.up_ratio,
+                    num_point=num_point,
+                    patch_num_ratio=flags.patch_num_ratio,
+                    chunk=flags.chunk, jitter=flags.jitter,
+                    jitter_sigma=flags.jitter_sigma,
+                    jitter_max=flags.jitter_max, drop_out=flags.drop_out)
+        else:
+            start = time.time()
+            inp, up = upsample_shape(
+                net, params, data, flags.up_ratio, num_point=num_point,
+                patch_num_ratio=flags.patch_num_ratio, chunk=flags.chunk,
+                jitter=flags.jitter, jitter_sigma=flags.jitter_sigma,
+                jitter_max=flags.jitter_max, drop_out=flags.drop_out)
+        logger.info(f"total time: {time.time() - start:.3f}s "
+                    f"({up.shape[0]} points)")
+        save_ply(inp, out_path[:-4] + "_input.ply")
+        save_ply(up, out_path)
+        logger.success(out_path)
+
+
+def run_train(flags) -> None:
+    from threepu.train import train_loop, TrainConfig
+    from threepu.vis import VisdomMonitor
+
+    cfg = TrainConfig(
+        h5_data=flags.h5_data, num_shape_point=flags.num_shape_point,
+        num_point=flags.num_point, batch_size=flags.batch_size,
+        up_ratio=flags.up_ratio, step_ratio=flags.step_ratio,
+        knn=flags.knn, growth_rate=flags.growth_rate,
+        dense_n=flags.dense_n, fm_knn=flags.fm_knn,
+        lr_init=flags.lr_init, max_epoch=flags.max_epoch,
+        stage_steps=flags.stage_steps, cd_threshold=flags.cd_threshold,
+        jitter=flags.jitter, jitter_sigma=flags.jitter_sigma,
+        jitter_max=flags.jitter_max, drop_out=flags.drop_out,
+        ckpt=flags.ckpt, model_dir=os.path.join(flags.log_dir, flags.id),
+        weight_mode=flags.loss_weight_mode)
+    monitor = VisdomMonitor(env=flags.id)
+    train_loop(cfg, log_fn=monitor.log_train_step)
+
+
+def run_vis(flags, result_dir: str) -> None:
+    from threepu.vis import vis_phase
+    net = _build_net(flags)
+    params = _load_params(flags, net)
+    vis_phase(flags, net, params, result_dir)
+
+
+def main(argv: Optional[list] = None) -> None:
+    flags = build_parser().parse_args(argv)
+    result_dir = result_path_for(flags)
+    if flags.phase == "test":
+        assert flags.ckpt is not None, "--ckpt required for test"
+        run_test(flags, result_dir)
+    elif flags.phase == "vis":
+        assert flags.ckpt is not None, "--ckpt required for vis"
+        run_vis(flags, result_dir)
+    elif flags.phase == "train":
+        run_train(flags)
+    else:
+        raise SystemExit(f"unknown phase {flags.phase!r}")
+
+
+if __name__ == "__main__":
+    main()

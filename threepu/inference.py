@@ -1,0 +1,142 @@
+"""Whole-shape upsampling pipeline.
+
+Reference equivalent: ``pc_prediction`` + ``test`` (``main.py:214-246,
+333-389``) — FPS patch seeds, kNN patch grouping, per-patch normalize,
+cascade forward, denormalize, concat, final FPS down to ``N * ratio``.
+
+TPU re-design: the reference's serial per-patch python loop
+(``main.py:237-244``) becomes one jit-compiled program: all patches are
+grouped at once and the cascade runs over patch *chunks* with
+``lax.map`` (bounding peak memory; chunk size static).  The final
+re-stitch FPS runs on device with the Pallas kernel.  Host touches data
+exactly twice: upload the shape, download the result.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from threepu.models import Net
+from threepu.ops import knn_group, gather_nd
+from threepu.ops.fps import _dispatch_fps
+from threepu.ops.normalize import normalize_point_batch_cl
+
+Array = jax.Array
+
+
+def plan_patches(num_shape_point: int, num_point: int,
+                 patch_num_ratio: float = 3.0,
+                 chunk: Optional[int] = None) -> Tuple[int, int, int]:
+    """(num_patches, padded_num_patches, chunk): the reference patch
+    count ``int(N / num_point * patch_num_ratio)`` (``main.py:225``),
+    padded up so the chunked map divides evenly."""
+    num_patches = int(num_shape_point / num_point * patch_num_ratio)
+    num_patches = max(num_patches, 1)
+    if chunk is None or chunk >= num_patches:
+        chunk = num_patches
+    padded = -(-num_patches // chunk) * chunk
+    return num_patches, padded, chunk
+
+
+@partial(jax.jit,
+         static_argnames=("net", "ratio", "num_point", "num_out",
+                          "patch_num_ratio", "chunk"))
+def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
+                         num_point: int, num_out: int,
+                         patch_num_ratio: float = 3.0,
+                         chunk: Optional[int] = None) -> Array:
+    """Upsample one (normalized) shape.
+
+    Args:
+      xyz: ``(N, 3)`` the whole shape, already normalized to the unit
+        sphere (the reference normalizes in ``test()``, ``main.py:352``).
+      ratio: upsampling ratio (static).
+      num_point: patch size (NUM_POINT, default 312).
+      num_out: output point count (``int(num_shape_point) * ratio``,
+        ``main.py:379-380``).
+
+    Returns:
+      ``(num_out, 3)`` upsampled shape in the same normalized frame.
+    """
+    n = xyz.shape[0]
+    num_patches, padded, chunk = plan_patches(n, num_point,
+                                              patch_num_ratio, chunk)
+
+    # seed-FPS + grouping over the whole shape (main.py:228-235)
+    shape_b = xyz[None]                                       # (1, N, 3)
+    seed_idx = _dispatch_fps(shape_b, num_patches, None, None)
+    seeds = gather_nd(shape_b, seed_idx)                      # (1, P, 3)
+    patches = knn_group(seeds, shape_b, num_point).neighbors[0]
+
+    if padded != num_patches:
+        pad = jnp.broadcast_to(patches[:1],
+                               (padded - num_patches,) + patches.shape[1:])
+        patches = jnp.concatenate([patches, pad], axis=0)
+
+    norm, centroid, radius = normalize_point_batch_cl(patches)
+
+    def run_chunk(chunk_patches):                             # (c, K, 3)
+        return net.apply({"params": params}, chunk_patches, ratio,
+                         train=False)
+
+    chunked = norm.reshape(padded // chunk, chunk, num_point, 3)
+    up = jax.lax.map(run_chunk, chunked)
+    up = up.reshape(padded, num_point * ratio, 3)
+    up = up * radius + centroid                               # denormalize
+
+    merged = up.reshape(1, padded * num_point * ratio, 3)
+    valid = None
+    if padded != num_patches:
+        valid = (jnp.arange(padded)[:, None] < num_patches)
+        valid = jnp.broadcast_to(
+            valid, (padded, num_point * ratio)).reshape(1, -1)
+    final_idx = _dispatch_fps(merged, num_out, valid, None)
+    return gather_nd(merged, final_idx)[0]
+
+
+def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
+                   num_point: int = 312, patch_num_ratio: float = 3.0,
+                   chunk: Optional[int] = 8,
+                   num_shape_point: Optional[int] = None,
+                   jitter: bool = False, jitter_sigma: float = 0.0025,
+                   jitter_max: float = 0.005,
+                   drop_out: float = 1.0,
+                   seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-facing convenience mirroring ``test()``'s per-file flow
+    (``main.py:341-389``): optional FPS drop-out, normalize, optional
+    jitter, device pipeline, denormalize.
+
+    Returns (input points as processed, upsampled points), both in the
+    original coordinate frame.
+    """
+    from threepu.utils import pc_utils
+
+    points = np.asarray(points, np.float32)[..., :3]
+    n_target = num_shape_point or points.shape[0]
+    n_keep = int(n_target * drop_out)
+    if drop_out < 1.0:
+        pts_b = jnp.asarray(points[None])
+        idx = _dispatch_fps(pts_b, n_keep, None, None)
+        points = np.asarray(gather_nd(pts_b, idx)[0])
+
+    data, centroid, furthest = pc_utils.normalize_point_cloud(points)
+    is_2d = bool(np.all(data[:, 2] == 0))
+    if jitter:
+        data = pc_utils.jitter_perturbation_point_cloud(
+            data[None], sigma=jitter_sigma, clip=jitter_max,
+            is_2D=is_2d)[0]
+
+    num_out = int(n_keep) * ratio
+    up = upsample_point_cloud(net, params, jnp.asarray(data), ratio,
+                              num_point, num_out,
+                              patch_num_ratio=patch_num_ratio,
+                              chunk=chunk)
+    up = np.asarray(up) * furthest + centroid
+    data = data * furthest + centroid
+    return data, up

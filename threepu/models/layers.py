@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from threepu.ops import knn_group, fps_indices, gather_nd
+from threepu.ops.gather import batched_gather
 
 Array = jax.Array
 
@@ -75,28 +76,36 @@ class DenseEdgeConv(nn.Module):
     n: int
     k: int
 
-    def get_local_graph(self, x: Array, idx: Optional[Array] = None):
-        """x: (B, N, C) -> edge features (B, N, k, 2C), idx (B, N, k)."""
+    def get_local_graph(self, x: Array, idx: Optional[Array] = None,
+                        dup_mask: Optional[Array] = None):
+        """x: (B, N, C) -> edge features (B, N, k, 2C), idx (B, N, k).
+
+        ``dup_mask`` marks duplicate *input points*: feature rows can
+        only collide when the underlying points do (features are a
+        deterministic per-point function of xyz), so the Level computes
+        the mask once on 3-channel xyz instead of each block paying an
+        N^2*C feature comparison."""
         if idx is None:
-            res = knn_group(x, x, self.k + 1, unique=True)
+            res = knn_group(x, x, self.k + 1, unique=True,
+                            dup_mask=dup_mask)
             idx = res.idx[..., 1:]
             nbrs = res.neighbors[..., 1:, :]
         else:
-            nbrs = jnp.take_along_axis(
-                x[..., None, :, :], idx[..., :, :, None], axis=-2)
+            nbrs = batched_gather(x, idx)
         center = jnp.broadcast_to(x[..., :, None, :], nbrs.shape)
         edge = jnp.concatenate([center, nbrs - center], axis=-1)
         return edge, idx
 
     @nn.compact
-    def __call__(self, x: Array, idx: Optional[Array] = None
-                 ) -> Tuple[Array, Array]:
+    def __call__(self, x: Array, idx: Optional[Array] = None,
+                 dup_mask: Optional[Array] = None) -> Tuple[Array, Array]:
         for i in range(self.n):
             mlp = nn.Dense(self.growth_rate, kernel_init=_xavier_uniform(),
                            bias_init=nn.initializers.zeros,
                            name=f"mlps_{i}")
             if i == 0:
-                y, idx = self.get_local_graph(x, idx=idx)
+                y, idx = self.get_local_graph(x, idx=idx,
+                                              dup_mask=dup_mask)
                 tiled = jnp.broadcast_to(
                     x[..., :, None, :], x.shape[:-1] + (self.k, x.shape[-1]))
                 y = jnp.concatenate([nn.relu(mlp(y)), tiled], axis=-1)

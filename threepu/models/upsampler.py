@@ -103,29 +103,35 @@ class Level(nn.Module):
         point features (B, N, 264))."""
         b, n, _ = xyz_normalized.shape
         ec = dict(growth_rate=self.growth_rate, n=self.dense_n, k=self.knn)
+        # duplicate mask once on 3-channel xyz; identical input points
+        # produce identical features, so this mask is valid for every
+        # feature-space kNN below (replaces the reference's per-call
+        # host np.unique round trip, operations.py:193-204)
+        from threepu.ops import duplicate_mask
+        dup = duplicate_mask(xyz_normalized)
 
         x = DenseConv(24, activation=None, name="layer0")(xyz_normalized)
         self.sow("intermediates", "layer_0", x)
 
-        y, idx = DenseEdgeConv(**ec, name="layer1")(x)
+        y, idx = DenseEdgeConv(**ec, name="layer1")(x, dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 84
         self.sow("intermediates", "layer_1", x)
         self.sow("intermediates", "nnIdx_layer_0", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer2")(
-            DenseConv(24, "relu", name="layer2_prep")(x))
+            DenseConv(24, "relu", name="layer2_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 144
         self.sow("intermediates", "layer_2", x)
         self.sow("intermediates", "nnIdx_layer_1", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer3")(
-            DenseConv(24, "relu", name="layer3_prep")(x))
+            DenseConv(24, "relu", name="layer3_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 204
         self.sow("intermediates", "layer_3", x)
         self.sow("intermediates", "nnIdx_layer_2", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer4")(
-            DenseConv(24, "relu", name="layer4_prep")(x))
+            DenseConv(24, "relu", name="layer4_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 264
         self.sow("intermediates", "layer_4", x)
         self.sow("intermediates", "nnIdx_layer_3", idx)
@@ -133,9 +139,8 @@ class Level(nn.Module):
         if previous_level4 is not None and self.fm_knn > 0:
             prev_xyz, prev_feat = previous_level4
             res = knn_group(xyz, prev_xyz, self.fm_knn, unique=True)
-            knn_feats = jnp.take_along_axis(
-                prev_feat[..., None, :, :], res.idx[..., :, :, None],
-                axis=-2)                                   # (B, N, K, C)
+            from threepu.ops.gather import batched_gather
+            knn_feats = batched_gather(prev_feat, res.idx)  # (B, N, K, C)
             _, s_w = exponential_distance(xyz, res.neighbors)
             _, f_w = exponential_distance(x, knn_feats)
             w = s_w * f_w
@@ -288,7 +293,8 @@ class Net(nn.Module):
                 # merge sub-patches back per top patch, then FPS re-stitch
                 merged = new_xyz.reshape(p, n_sub * new_xyz.shape[1], 3)
                 n_out = num_point * curr_ratio
-                sel = fps_indices(merged, n_out)
+                from threepu.ops.fps import _dispatch_fps
+                sel = _dispatch_fps(merged, n_out, None, None)
                 xyz = gather_nd(merged, sel)
                 old_xyz = flat.reshape(p, n_sub * max_np, 3)
                 old_feats = feats.reshape(p, n_sub * max_np, -1)
@@ -305,7 +311,8 @@ class Net(nn.Module):
         """Static-shape sub-patch extraction (``upsampler.py:59-86``):
         outliers (NN distance >= 5x mean) are masked out of FPS seeding
         and rank last in grouping instead of being dropped."""
-        closest = knn_group(xyz, xyz, 2, unique=False).dist2[..., 1]
+        from threepu.ops.chamfer import self_nn_dist2
+        closest = self_nn_dist2(xyz)
         mask = closest < 5.0 * jnp.mean(closest, axis=-1, keepdims=True)
         seed_idx = fps_indices(xyz, n_sub, valid_mask=mask)
         seeds = gather_nd(xyz, seed_idx)
@@ -334,8 +341,8 @@ class AdaptiveLevel(nn.Module):
         """Spatial-only exp-distance interpolation
         (``upsampler.py:441-465``)."""
         res = knn_group(xyz, prev_xyz, self.fm_knn, unique=True)
-        feats = jnp.take_along_axis(
-            prev_feat[..., None, :, :], res.idx[..., :, :, None], axis=-2)
+        from threepu.ops.gather import batched_gather
+        feats = batched_gather(prev_feat, res.idx)
         d = jnp.sum((xyz[..., :, None, :] - res.neighbors) ** 2, axis=-1)
         d = jax.lax.stop_gradient(d)
         h = jnp.mean(jnp.min(d, axis=-1, keepdims=True), axis=-2,

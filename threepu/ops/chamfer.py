@@ -103,3 +103,30 @@ nn_distance.defvjp(_nn_fwd, _nn_bwd)
 def nndistance(xyz1: Array, xyz2: Array):
     """Reference-compatible alias (``network/model_loss.py:30``)."""
     return nn_distance(xyz1, xyz2)
+
+
+def self_nn_dist2(points: Array, chunk: int = 2048) -> Array:
+    """Distance to each point's nearest *other* point: ``(B, N)``.
+
+    Purpose-built for the outlier test (``upsampler.py:63-68``: NN
+    distance >= 5x mean -> outlier).  The naive route — self-kNN with
+    k=2 — materializes the full ``N x N`` matrix and a giant top-k; this
+    is a chunked masked min, O(chunk*N) memory and no sort.
+    """
+    bsz, n, c = points.shape
+    pad = (-n) % chunk
+    p_pad = jnp.pad(points, ((0, 0), (0, pad), (0, 0)))
+    n_chunks = (n + pad) // chunk
+    chunks = jnp.swapaxes(p_pad.reshape(bsz, n_chunks, chunk, c), 0, 1)
+    row_ids = jnp.arange(n + pad).reshape(n_chunks, chunk)
+    col_ids = jnp.arange(n)
+
+    def one(args):
+        rows, ids = args                                # (B, chunk, C)
+        d = pairwise_dist2(rows, points)                # (B, chunk, N)
+        self_mask = ids[None, :, None] == col_ids[None, None, :]
+        d = jnp.where(self_mask, jnp.inf, d)
+        return jnp.min(d, axis=-1)
+
+    out = jax.lax.map(one, (chunks, row_ids))           # (n_chunks, B, chunk)
+    return jnp.swapaxes(out, 0, 1).reshape(bsz, n + pad)[:, :n]

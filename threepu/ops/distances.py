@@ -67,10 +67,17 @@ def duplicate_mask(points: jax.Array, *, chunk: int = 256) -> jax.Array:
       boolean ``(..., N)``; True where the row duplicates an earlier row.
     """
     *batch, n, c = points.shape
+    col_idx = jnp.arange(n)
+    if n * n * c <= 64 * 1024 * 1024:
+        # direct broadcast path: (..., N, N, C) comparison buffer
+        eq = jnp.all(points[..., :, None, :] == points[..., None, :, :],
+                     axis=-1)
+        earlier = col_idx[None, :] < col_idx[:, None]
+        return jnp.any(eq & earlier, axis=-1)
+
     flat = points.reshape((-1, n, c))
     pad = (-n) % chunk
     n_pad = n + pad
-    col_idx = jnp.arange(n)
 
     def one_batch(pts):
         padded = jnp.pad(pts, ((0, pad), (0, 0)))

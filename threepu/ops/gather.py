@@ -51,3 +51,20 @@ def gather_nd(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Channels-last gather: ``points (B, N, C)``, ``idx (B, M)`` ->
     ``(B, M, C)``.  Differentiable natively."""
     return jnp.take_along_axis(points, idx[..., None], axis=-2)
+
+
+def batched_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather with arbitrary trailing index shape and NO broadcast
+    blow-up: ``points (..., M, C)``, ``idx (..., X1, ..., Xk)`` ints in
+    [0, M) -> ``(..., X1, ..., Xk, C)``.
+
+    The naive ``take_along_axis(points[..., None, :, :], idx[..., None],
+    axis=-2)`` pattern materializes a ``(..., X, M, C)`` broadcast under
+    XLA (a 60GB allocation at cascade level 4); flattening the index
+    axes first keeps it a true gather.
+    """
+    batch_shape = points.shape[:-2]
+    extra = idx.shape[len(batch_shape):]
+    flat = idx.reshape(batch_shape + (-1,))
+    out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+    return out.reshape(batch_shape + extra + (points.shape[-1],))

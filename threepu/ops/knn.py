@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from threepu.ops.distances import pairwise_dist2, duplicate_mask
+from threepu.ops.gather import batched_gather
 
 
 class KnnResult(NamedTuple):
@@ -38,6 +39,7 @@ def knn_group(
     *,
     unique: bool = False,
     valid_mask: Optional[jax.Array] = None,
+    dup_mask: Optional[jax.Array] = None,
 ) -> KnnResult:
     """Group the ``k`` nearest ``points`` around each ``query``.
 
@@ -49,6 +51,11 @@ def knn_group(
         occurrence) behind every distinct point in the ranking, matching
         the reference's ``np.unique`` masking semantics.
       valid_mask: optional boolean ``(..., N)``; invalid points rank last.
+      dup_mask: optional precomputed duplicate mask ``(..., N)``.  When
+        the point set is a deterministic per-point function of a cheaper
+        space (e.g. features derived from xyz), duplicates can only come
+        from duplicates there — pass that mask instead of paying the
+        ``N^2 * C`` feature-space comparison.
 
     Returns:
       :class:`KnnResult` with neighbours sorted by ascending distance.
@@ -59,7 +66,7 @@ def knn_group(
     d = pairwise_dist2(query, points)  # (..., M, N)
     penalty = None
     if unique:
-        dup = duplicate_mask(points)
+        dup = duplicate_mask(points) if dup_mask is None else dup_mask
         penalty = dup
     if valid_mask is not None:
         invalid = ~valid_mask
@@ -72,11 +79,7 @@ def knn_group(
 
     neg_top, idx = jax.lax.top_k(-d, k)  # (..., M, k)
     idx = idx.astype(jnp.int32)
-    nbrs = jnp.take_along_axis(
-        points[..., None, :, :],  # (..., 1, N, C)
-        idx[..., :, :, None],     # (..., M, k, 1)
-        axis=-2,
-    )
+    nbrs = batched_gather(points, idx)   # (..., M, k, C)
     return KnnResult(neighbors=nbrs, idx=idx, dist2=-neg_top)
 
 

@@ -1,0 +1,161 @@
+"""The full training loop.
+
+Reference equivalent: ``train()`` in ``main.py:127-211`` — epoch loop
+over 300*batch_size curriculum batches, stage/combined/threshold
+transitions, running-mean loss logging, checkpoint every 20 epochs with
+the global step embedded so a restart restores the curriculum exactly
+(``main.py:141-157``).
+
+TPU re-design: the curriculum is a pure function of the step
+(:mod:`threepu.data.curriculum`), the batch is sampled *on device* inside
+jit, and the optimizer step is a donated jit program — the host loop only
+draws ratios and handles logging/checkpoints.  A :class:`Prefetcher`
+keeps sampling ahead of the train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from collections import defaultdict
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from threepu.data import DeviceDataset, curriculum_state
+from threepu.data.prefetch import Prefetcher
+from threepu.io import save_checkpoint, load_checkpoint, import_pth
+from threepu.models import Net
+from threepu.train.model import (create_train_state, make_optimizer,
+                                 train_step, loss_weight)
+from threepu.utils import logger
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    h5_data: str
+    num_shape_point: int
+    num_point: Optional[int] = None       # patch size (NUM_POINT)
+    batch_size: int = 16
+    up_ratio: int = 16
+    step_ratio: int = 2
+    knn: int = 32
+    growth_rate: int = 12
+    dense_n: int = 3
+    fm_knn: int = 5
+    max_num_point: int = 312
+    lr_init: float = 5e-4
+    max_epoch: int = 160
+    stage_steps: int = 15000
+    cd_threshold: float = 2.0
+    jitter: bool = False
+    jitter_sigma: float = 0.0025
+    jitter_max: float = 0.005
+    drop_out: float = 1.0
+    ckpt: Optional[str] = None
+    model_dir: str = "./model/demo"
+    ckpt_epochs: int = 20                 # main.py:208
+    log_steps: int = 50                   # main.py:183
+    seed: int = 0
+    weight_mode: str = "floored"
+    mesh: Optional[object] = None         # jax Mesh for multi-chip DP
+
+    @property
+    def patch_point(self) -> int:
+        return self.num_point or int(self.num_shape_point * self.drop_out)
+
+
+def build_net(cfg: TrainConfig) -> Net:
+    return Net(max_up_ratio=cfg.up_ratio, step_ratio=cfg.step_ratio,
+               knn=cfg.knn, growth_rate=cfg.growth_rate,
+               dense_n=cfg.dense_n, fm_knn=cfg.fm_knn,
+               max_num_point=cfg.max_num_point)
+
+
+def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
+               log_fn: Optional[Callable] = None):
+    """Run training; returns the final (state, error_log).
+
+    ``max_steps`` bounds total optimization steps (tests/benchmarks);
+    ``log_fn(step, ratio, loss, state, batch)`` is the visualization hook
+    (the visdom monitor of ``main.py:183-201`` plugs in here).
+    """
+    net = build_net(cfg)
+    tx = make_optimizer(cfg.lr_init)
+    dataset = DeviceDataset(
+        cfg.h5_data, cfg.num_shape_point, cfg.patch_point,
+        batch_size=cfg.batch_size, up_ratio=cfg.up_ratio,
+        step_ratio=cfg.step_ratio, jitter=cfg.jitter,
+        jitter_sigma=cfg.jitter_sigma, jitter_max=cfg.jitter_max,
+        drop_out=cfg.drop_out)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_init, k_data = jax.random.split(key, 3)
+    ex_in, ex_gt = dataset.sample(k_data, 0, cfg.up_ratio)
+    state = create_train_state(net, k_init, ex_in, ex_gt, cfg.up_ratio,
+                               tx=tx)
+
+    step = 0
+    if cfg.ckpt:
+        loader = import_pth if cfg.ckpt.endswith(".pth") else load_checkpoint
+        restored, step = loader(cfg.ckpt, {"params": state.params})
+        state = state._replace(params=restored["params"],
+                               step=jax.numpy.asarray(step, "int32"))
+        logger.info(f"restored {cfg.ckpt} at step {step}")
+
+    sharded_step = None
+    if cfg.mesh is not None:
+        from threepu.parallel import make_sharded_train_step
+        sharded_step = make_sharded_train_step(net, tx, cfg.mesh)
+        state = jax.device_put(
+            state, jax.sharding.NamedSharding(
+                cfg.mesh, jax.sharding.PartitionSpec()))
+
+    steps_per_epoch = 300 * cfg.batch_size        # data.py:46-47
+    start_epoch = step // steps_per_epoch
+    error_log = defaultdict(float)
+
+    def ratio_for(s: int) -> int:
+        st = curriculum_state(s, cfg.stage_steps, cfg.up_ratio,
+                              cfg.step_ratio, cfg.cd_threshold)
+        rng = np.random.default_rng(cfg.seed * 1_000_003 + s)
+        return st.choose_ratio(rng)
+
+    key, k_pf = jax.random.split(key)
+    prefetch = Prefetcher(dataset.sample, ratio_for, k_pf, depth=2,
+                          start_step=step)
+
+    t0 = time.time()
+    for epoch in range(start_epoch, cfg.max_epoch):
+        for _ in range(steps_per_epoch):
+            if max_steps is not None and step >= max_steps:
+                return state, error_log
+            (inp, gt), ratio, _ = next(prefetch)
+            st = curriculum_state(step, cfg.stage_steps, cfg.up_ratio,
+                                  cfg.step_ratio, cfg.cd_threshold)
+            key, k_step = jax.random.split(key)
+            step_fn = sharded_step or train_step
+            state, cd = step_fn(net, tx, state, k_step, inp, gt, ratio,
+                                threshold=st.threshold,
+                                weight_mode=cfg.weight_mode)
+            step += 1
+            w = loss_weight(ratio, cfg.up_ratio, cfg.step_ratio,
+                            cfg.weight_mode)
+            k = f"cd_loss_x{ratio}"
+            prev = error_log[k]
+            error_log[k] = prev + (float(cd) * w - prev) / (step + 1)
+            if log_fn is not None and step % cfg.log_steps == 0:
+                log_fn(step, ratio, float(cd), state, (inp, gt))
+
+        logger.info(
+            f"epoch {epoch}: " + ", ".join(
+                f"{k}={v:.6f}" for k, v in sorted(error_log.items()))
+            + f" ({(time.time() - t0):.1f}s)")
+        if epoch % cfg.ckpt_epochs == 0:
+            path = os.path.join(cfg.model_dir, f"model_{epoch}.npz")
+            save_checkpoint(path, {"params": jax.device_get(state.params)},
+                            step=step)
+            logger.info(f"saved {path}")
+    return state, error_log
