@@ -13,6 +13,12 @@ import jax
 import numpy as np
 import pytest
 
+# The env var alone is NOT enough: the jaxtyping pytest plugin imports
+# jax before this conftest runs, freezing JAX_PLATFORMS=axon (the TPU
+# tunnel) into the config — tests would silently run against the TPU.
+# Setting the config attribute works until a backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
 # float64 so finite-difference gradient checks are meaningful
 jax.config.update("jax_enable_x64", True)
 # this jax build defaults matmuls to bf16 passes (even on CPU); pin full

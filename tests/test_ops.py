@@ -245,3 +245,26 @@ class TestNnDistance:
                     np.testing.assert_allclose(
                         np.asarray(g)[0, i, c], num, atol=1e-4,
                         err_msg=f"arg{which} point {i} coord {c}")
+
+
+class TestKnnApprox:
+    def test_approx_recall_and_api(self, rng):
+        """method='approx' (TPU partial-reduce top-k) keeps high recall
+        vs exact; 'auto' stays exact on CPU."""
+        q = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+        p = jnp.asarray(
+            rng.standard_normal((2, 4096, 3)).astype(np.float32))
+        exact = ops.knn_group(q, p, 5, method="exact")
+        approx = ops.knn_group(q, p, 5, method="approx",
+                               recall_target=0.95)
+        hit = (approx.idx[..., :, None] == exact.idx[..., None, :])
+        recall = float(jnp.mean(jnp.any(hit, axis=-1)))
+        assert recall >= 0.9
+        auto = ops.knn_group(q, p, 5)  # auto -> exact on CPU backend
+        np.testing.assert_array_equal(np.asarray(auto.idx),
+                                      np.asarray(exact.idx))
+
+    def test_unknown_method_raises(self, rng):
+        q = jnp.asarray(rng.standard_normal((1, 4, 3)).astype(np.float32))
+        with pytest.raises(ValueError):
+            ops.knn_group(q, q, 2, method="bogus")

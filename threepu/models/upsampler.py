@@ -93,11 +93,21 @@ class Level(nn.Module):
 
     @nn.compact
     def __call__(self, xyz: Array, xyz_normalized: Array,
-                 previous_level4: Optional[Tuple[Array, Array]] = None
+                 previous_level4: Optional[Tuple[Array, Array]] = None,
+                 prev_group: int = 1,
+                 prev_dup: Optional[Array] = None
                  ) -> Tuple[Array, Array]:
         """xyz/xyz_normalized: (B, N, 3) (un/normalized input points).
-        previous_level4: optional (prev_xyz (B, M, 3), prev_feat (B, M, C))
-        from the previous level, for the feature-propagation skip.
+        previous_level4: optional (prev_xyz, prev_feat) from the previous
+        level, for the feature-propagation skip.  When every group of
+        ``prev_group`` consecutive batch elements shares ONE previous
+        patch (the test-time sub-patch pipeline: the reference expands
+        previous level tensors per sub-patch, ``upsampler.py:319-323``),
+        prev arrays have batch ``B / prev_group`` and the kNN search runs
+        at that batch — avoiding an ``n_sub``-fold materialization of the
+        previous features.  ``prev_dup`` is the precomputed duplicate
+        mask of ``prev_xyz`` (merged patches genuinely contain duplicate
+        points, so unique semantics matter here).
 
         Returns (upsampled xyz (B, N*r, 3) in normalized frame,
         point features (B, N, 264))."""
@@ -137,11 +147,27 @@ class Level(nn.Module):
         self.sow("intermediates", "nnIdx_layer_3", idx)
 
         if previous_level4 is not None and self.fm_knn > 0:
-            prev_xyz, prev_feat = previous_level4
-            res = knn_group(xyz, prev_xyz, self.fm_knn, unique=True)
             from threepu.ops.gather import batched_gather
-            knn_feats = batched_gather(prev_feat, res.idx)  # (B, N, K, C)
-            _, s_w = exponential_distance(xyz, res.neighbors)
+            prev_xyz, prev_feat = previous_level4
+            k = self.fm_knn
+            if prev_group > 1:
+                # search at top-patch batch: sub-patches in a group share
+                # the same previous set
+                p = b // prev_group
+                q_xyz = xyz.reshape(p, prev_group * n, 3)
+                res = knn_group(q_xyz, prev_xyz, k, unique=True,
+                                dup_mask=prev_dup)
+                nbrs = res.neighbors.reshape(b, n, k, 3)
+                knn_feats = batched_gather(prev_feat, res.idx).reshape(
+                    b, n, k, -1)
+            else:
+                res = knn_group(xyz, prev_xyz, k, unique=True,
+                                dup_mask=prev_dup)
+                nbrs = res.neighbors
+                knn_feats = batched_gather(prev_feat, res.idx)
+            # weights normalized per sub-patch (reference h is a per-batch
+            # element statistic, upsampler.py:247-248)
+            _, s_w = exponential_distance(xyz, nbrs)
             _, f_w = exponential_distance(x, knn_feats)
             w = s_w * f_w
             w = w / jnp.sum(w + 1e-5, axis=-1, keepdims=True)
@@ -281,14 +307,14 @@ class Net(nn.Module):
                 sub = self._extract_patch_eval(xyz, max_np, n_sub)
                 flat = sub.reshape(p * n_sub, max_np, 3)
                 norm, centroid, radius = normalize_point_batch_cl(flat)
-                prev_xyz = jnp.broadcast_to(
-                    old_xyz[:, None], (p, n_sub) + old_xyz.shape[1:]
-                ).reshape((p * n_sub,) + old_xyz.shape[1:])
-                prev_feat = jnp.broadcast_to(
-                    old_feats[:, None], (p, n_sub) + old_feats.shape[1:]
-                ).reshape((p * n_sub,) + old_feats.shape[1:])
+                # previous arrays stay at top-patch batch; the Level runs
+                # its interlevel kNN grouped (prev_group) and we hand it
+                # the merged-patch duplicate mask once
+                from threepu.ops import duplicate_mask
+                prev_dup = duplicate_mask(old_xyz)
                 new_xyz, feats = self.levels[l - 1](
-                    flat, norm, (prev_xyz, prev_feat))
+                    flat, norm, (old_xyz, old_feats),
+                    prev_group=n_sub, prev_dup=prev_dup)
                 new_xyz = new_xyz * radius + centroid
                 # merge sub-patches back per top patch, then FPS re-stitch
                 merged = new_xyz.reshape(p, n_sub * new_xyz.shape[1], 3)
