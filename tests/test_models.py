@@ -266,3 +266,18 @@ class TestChamferLoss:
         expect = 50.0 * d1.mean() + d2.mean()
         got = float(chamfer_loss(a, b, forward_weight=50.0))
         np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+class TestFusedEdgeConv:
+    def test_fused_equals_naive(self, rng):
+        """The decomposed (TPU-fused) schedule computes the same function
+        as the naive edge-tensor schedule with shared params."""
+        x = jnp.asarray(rng.standard_normal((2, 40, 24)).astype(np.float32))
+        fused = DenseEdgeConv(growth_rate=12, n=3, k=8, fused=True)
+        naive = DenseEdgeConv(growth_rate=12, n=3, k=8, fused=False)
+        params = fused.init({"params": jax.random.PRNGKey(0)}, x)
+        yf, idxf = fused.apply(params, x)
+        yn, idxn = naive.apply(params, x)  # same param tree
+        np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxn))
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yn),
+                                   atol=2e-5)

@@ -53,6 +53,7 @@ def knn_group(
     dup_mask: Optional[jax.Array] = None,
     method: Optional[str] = None,
     recall_target: Optional[float] = None,
+    with_neighbors: bool = True,
 ) -> KnnResult:
     """Group the ``k`` nearest ``points`` around each ``query``.
 
@@ -103,7 +104,8 @@ def knn_group(
     else:
         raise ValueError(f"unknown knn method {method!r}")
     idx = idx.astype(jnp.int32)
-    nbrs = batched_gather(points, idx)   # (..., M, k, C)
+    # callers that only need indices (fused edge conv) skip the gather
+    nbrs = batched_gather(points, idx) if with_neighbors else None
     return KnnResult(neighbors=nbrs, idx=idx, dist2=-neg_top)
 
 
