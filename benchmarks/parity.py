@@ -21,9 +21,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 from glob import glob
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def chamfer(a: np.ndarray, b: np.ndarray) -> float:

@@ -11,9 +11,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def _fresh_shape(rng, n):
@@ -77,10 +82,16 @@ def bench_2_scan16x_jitter():
     net, params = _full_net_params()
     rng = np.random.default_rng(1)
     pts = np.asarray(_fresh_shape(rng, 5000))
-    t0 = time.perf_counter()
-    _, up = upsample_shape(net, params, pts, 16, num_point=312,
-                           jitter=True, chunk=8)
-    sec = time.perf_counter() - t0
+    upsample_shape(net, params, pts, 16, num_point=312, jitter=True,
+                   chunk=8)  # compile
+    times = []
+    for _ in range(2):
+        fresh = np.asarray(_fresh_shape(rng, 5000))
+        t0 = time.perf_counter()
+        _, up = upsample_shape(net, params, fresh, 16, num_point=312,
+                               jitter=True, chunk=8)
+        times.append(time.perf_counter() - t0)
+    sec = min(times)
     return {"config": "scan 16x jittered", "wall_s": sec,
             "points_per_sec": up.shape[0] / sec}
 

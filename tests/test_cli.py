@@ -127,3 +127,23 @@ class TestVis:
         m = VisdomMonitor(env="test")  # visdom missing -> disabled
         m.log_train_step(1, 2, 0.5, None, (np.zeros((1, 4, 3)),
                                            np.zeros((1, 8, 3))))
+
+
+class TestCompat:
+    def test_pc_prediction_layout(self, rng):
+        from threepu.compat import pc_prediction, get_stage_progress
+        net = Net(max_up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+                  dense_n=2, max_num_point=64)
+        ex = jnp.asarray(rng.standard_normal((1, 16, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((1, 64, 3)).astype(np.float32))
+        params = net.init({"params": jax.random.PRNGKey(0),
+                           "patch": jax.random.PRNGKey(1)},
+                          ex, 4, gt, train=True)["params"]
+        pc = jnp.asarray(
+            rng.standard_normal((1, 3, 64)).astype(np.float32))
+        inputs, ups = pc_prediction(net, params, pc, 4, num_point=16,
+                                    chunk=4)
+        assert len(inputs) == 12  # int(64/16*3)
+        assert inputs[0].shape == (1, 3, 16)
+        assert ups[0].shape == (1, 3, 64)
+        assert get_stage_progress(0, 15000) == (0, 0.5)

@@ -268,3 +268,40 @@ class TestKnnApprox:
         q = jnp.asarray(rng.standard_normal((1, 4, 3)).astype(np.float32))
         with pytest.raises(ValueError):
             ops.knn_group(q, q, 2, method="bogus")
+
+
+class TestNnDistancePallas:
+    def test_interpret_matches_xla(self, rng):
+        """Pallas nn_distance kernel (interpret mode) vs the chunked XLA
+        path."""
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        import threepu.ops.chamfer_pallas as cp
+        a = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((2, 500, 3)).astype(np.float32))
+        d_ref, i_ref = ops.nn_distance(a, b, 128)[:2]
+        orig = pl.pallas_call
+        with mock.patch.object(cp.pl, "pallas_call",
+                               lambda *x, **k: orig(*x, interpret=True, **k)):
+            d, i = cp.nn_one_way_pallas(a, b)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref),
+                                   atol=1e-4)
+
+
+class TestHierarchicalFps:
+    def test_partitions_and_counts(self, rng):
+        """Hierarchical FPS (interpret-mode pallas) returns m valid,
+        distinct, well-spread indices."""
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        import threepu.ops.fps_pallas as fp
+        from threepu.ops.fps import fps_hierarchical
+        pts = jnp.asarray(rng.standard_normal((1, 1000, 3)).astype(np.float32))
+        orig = pl.pallas_call
+        with mock.patch.object(fp.pl, "pallas_call",
+                               lambda *a, **k: orig(*a, interpret=True, **k)):
+            idx = np.asarray(fps_hierarchical(pts, 100, group_max=256))
+        assert idx.shape == (1, 100)
+        assert len(np.unique(idx[0])) == 100
+        assert idx.min() >= 0 and idx.max() < 1000

@@ -34,8 +34,15 @@ def _nn_one_way(a: Array, b: Array, chunk: int) -> Tuple[Array, Array]:
     """Nearest neighbour in ``b`` for each point of ``a``.
 
     a: (B, N, C), b: (B, M, C) -> dist (B, N) f32, idx (B, N) i32.
-    Scans row-chunks of ``a`` so peak memory is ``B * chunk * M``.
+    Dispatches to the Pallas kernel on TPU for large 3D clouds (the
+    reference set must fit VMEM); otherwise scans row-chunks of ``a``
+    so peak memory is ``B * chunk * M``.
     """
+    n, m = a.shape[-2], b.shape[-2]
+    if (a.shape[-1] == 3 and jax.default_backend() == "tpu"
+            and n * m >= 1 << 20 and m <= 400_000):
+        from threepu.ops.chamfer_pallas import nn_one_way_pallas
+        return nn_one_way_pallas(a, b)
     bsz, n, c = a.shape
     pad = (-n) % chunk
     a_pad = jnp.pad(a, ((0, 0), (0, pad), (0, 0)))

@@ -96,13 +96,53 @@ def furthest_point_sample(
     return idx, sampled
 
 
+#: the Pallas kernel keeps 5 (N,) f32 planes resident in VMEM; beyond
+#: this point count it cannot fit and FPS goes hierarchical.
+PALLAS_MAX_N = 480_000
+
+
 def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
+    n = pts.shape[-2]
     if use_pallas is None:
-        use_pallas = (
-            pts.shape[-2] >= 4096
-            and jax.default_backend() == "tpu"
-        )
+        use_pallas = n >= 4096 and jax.default_backend() == "tpu"
+    if use_pallas and n > PALLAS_MAX_N:
+        return fps_hierarchical(pts, npoint, valid_mask=valid_mask)
     if use_pallas:
         from threepu.ops.fps_pallas import fps_pallas
         return fps_pallas(pts, npoint, valid_mask=valid_mask)
     return fps_indices(pts, npoint, valid_mask=valid_mask)
+
+
+def fps_hierarchical(points: jax.Array, m: int,
+                     valid_mask: Optional[jax.Array] = None,
+                     group_max: int = PALLAS_MAX_N) -> jax.Array:
+    """FPS for clouds too large for the VMEM-resident kernel.
+
+    Splits the cloud into G contiguous groups, runs the Pallas kernel
+    per group (folded into the batch axis) selecting ``m/G`` each, and
+    concatenates.  Groups partition the point set, so the union is a
+    valid spread sample; unlike exact FPS there is no cross-group
+    min-distance coupling — a documented approximation used only above
+    :data:`PALLAS_MAX_N` points (e.g. the 2.4M-point merge of a 50k-pt
+    shape at 16x), where exact sequential FPS is intractable anyway.
+    """
+    from threepu.ops.fps_pallas import fps_pallas
+
+    b, n, c = points.shape
+    groups = -(-n // group_max)
+    n_pad = -(-n // groups) * groups
+    per = n_pad // groups
+    m_per = -(-m // groups)
+
+    pts = jnp.pad(points, ((0, 0), (0, n_pad - n), (0, 0)))
+    mask = (jnp.arange(n_pad) < n)[None, :]
+    if valid_mask is not None:
+        mask = mask & jnp.pad(valid_mask, ((0, 0), (0, n_pad - n)))
+    mask = jnp.broadcast_to(mask, (b, n_pad))
+
+    grouped = pts.reshape(b * groups, per, c)
+    gmask = mask.reshape(b * groups, per)
+    idx = fps_pallas(grouped, m_per, valid_mask=gmask)   # (b*G, m_per)
+    offset = (jnp.arange(b * groups, dtype=jnp.int32) % groups) * per
+    idx = (idx + offset[:, None]).reshape(b, groups * m_per)
+    return idx[:, :m]

@@ -179,6 +179,10 @@ class Model:
             train=False)
         return self.predicted
 
+    def test_model(self):
+        """Eval-mode forward (reference ``model.py:79-81``)."""
+        return self.forward()
+
 
 def _to_channels_last(x):
     x = jnp.asarray(x)

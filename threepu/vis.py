@@ -41,12 +41,9 @@ class VisdomMonitor:
             return
         inp, gt = batch
         try:
-            import jax
-
             self._vis.scatter(
                 np.asarray(inp[0]), win=f"x{ratio}_input",
                 opts=dict(title=f"x{ratio}_input", markersize=2))
-            pred, _ = None, None
             self._vis.scatter(
                 np.asarray(gt[0]), win=f"x{ratio}_gt",
                 opts=dict(title=f"x{ratio}_label", markersize=2))
