@@ -41,17 +41,22 @@ class DenseConv(nn.Module):
     """1x1 convolution equivalent: a dense layer over the channel axis
     with optional activation (reference ``layers.Conv1d/Conv2d``,
     ``network/layers.py:115-204``; normalization variants are accepted
-    for API parity but the reference never enables them)."""
+    for API parity but the reference never enables them).
+
+    ``dtype`` is the compute dtype (params stay float32): pass
+    ``jnp.bfloat16`` for MXU-native feature compute."""
 
     features: int
     activation: Optional[str] = None
     use_bias: bool = True
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = nn.Dense(self.features, use_bias=self.use_bias,
                      kernel_init=_xavier_uniform(),
                      bias_init=nn.initializers.zeros,
+                     dtype=self.dtype,
                      name="conv")(x)
         if self.activation is None:
             return x
@@ -90,6 +95,7 @@ class DenseEdgeConv(nn.Module):
     growth_rate: int
     n: int
     k: int
+    dtype: Optional[object] = None
 
     def get_local_graph(self, x: Array, idx: Optional[Array] = None,
                         dup_mask: Optional[Array] = None):
@@ -118,9 +124,12 @@ class DenseEdgeConv(nn.Module):
                  dup_mask: Optional[Array] = None) -> Tuple[Array, Array]:
         if self.fused:
             return self._fused(x, idx, dup_mask)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for i in range(self.n):
             mlp = nn.Dense(self.growth_rate, kernel_init=_xavier_uniform(),
                            bias_init=nn.initializers.zeros,
+                           dtype=self.dtype,
                            name=f"mlps_{i}")
             if i == 0:
                 y, idx = self.get_local_graph(x, idx=idx,
@@ -165,6 +174,11 @@ class DenseEdgeConv(nn.Module):
             wi, bi = _RawDenseParams(g, ins[i], name=f"mlps_{i}")()
             w.append(wi)
             b.append(bi)
+
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            w = [wi.astype(self.dtype) for wi in w]
+            b = [bi.astype(self.dtype) for bi in b]
 
         wc, wd = w[0][:c], w[0][c:]
         z = x @ wd                                       # (B, N, G)

@@ -83,6 +83,7 @@ class Level(nn.Module):
     knn: int = 16
     fm_knn: int = 5
     step_ratio: int = 2
+    dtype: Optional[object] = None  # feature-compute dtype (e.g. bf16)
 
     @property
     def code(self) -> np.ndarray:
@@ -112,7 +113,8 @@ class Level(nn.Module):
         Returns (upsampled xyz (B, N*r, 3) in normalized frame,
         point features (B, N, 264))."""
         b, n, _ = xyz_normalized.shape
-        ec = dict(growth_rate=self.growth_rate, n=self.dense_n, k=self.knn)
+        ec = dict(growth_rate=self.growth_rate, n=self.dense_n, k=self.knn,
+                  dtype=self.dtype)
         # duplicate mask once on 3-channel xyz; identical input points
         # produce identical features, so this mask is valid for every
         # feature-space kNN below (replaces the reference's per-call
@@ -120,7 +122,8 @@ class Level(nn.Module):
         from threepu.ops import duplicate_mask
         dup = duplicate_mask(xyz_normalized)
 
-        x = DenseConv(24, activation=None, name="layer0")(xyz_normalized)
+        x = DenseConv(24, activation=None, dtype=self.dtype,
+                      name="layer0")(xyz_normalized)
         self.sow("intermediates", "layer_0", x)
 
         y, idx = DenseEdgeConv(**ec, name="layer1")(x, dup_mask=dup)
@@ -129,19 +132,19 @@ class Level(nn.Module):
         self.sow("intermediates", "nnIdx_layer_0", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer2")(
-            DenseConv(24, "relu", name="layer2_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer2_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 144
         self.sow("intermediates", "layer_2", x)
         self.sow("intermediates", "nnIdx_layer_1", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer3")(
-            DenseConv(24, "relu", name="layer3_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer3_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 204
         self.sow("intermediates", "layer_3", x)
         self.sow("intermediates", "nnIdx_layer_2", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer4")(
-            DenseConv(24, "relu", name="layer4_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer4_prep")(x), dup_mask=dup)
         x = jnp.concatenate([y, x], axis=-1)                     # 264
         self.sow("intermediates", "layer_4", x)
         self.sow("intermediates", "nnIdx_layer_3", idx)
@@ -185,10 +188,11 @@ class Level(nn.Module):
         code = code.reshape(b, n * r, -1)
         x = jnp.concatenate([x, code], axis=-1)
 
-        x = DenseConv(128, "relu", name="up_layer1")(x)
-        x = DenseConv(128, "relu", name="up_layer2")(x)
-        x = DenseConv(64, "relu", name="fc_layer1")(x)
-        x = DenseConv(3, None, name="fc_layer2")(x)
+        x = DenseConv(128, "relu", dtype=self.dtype, name="up_layer1")(x)
+        x = DenseConv(128, "relu", dtype=self.dtype, name="up_layer2")(x)
+        x = DenseConv(64, "relu", dtype=self.dtype, name="fc_layer1")(x)
+        # coordinates regress in float32 regardless of feature dtype
+        x = DenseConv(3, None, name="fc_layer2")(x.astype(jnp.float32))
 
         residual = jnp.broadcast_to(
             xyz_normalized[:, :, None, :], (b, n, r, 3)).reshape(b, n * r, 3)
@@ -214,6 +218,7 @@ class Net(nn.Module):
     dense_n: int = 3
     max_num_point: int = 312
     fm_knn: int = 5
+    dtype: Optional[object] = None  # feature-compute dtype (e.g. bf16)
 
     @property
     def num_levels(self) -> int:
@@ -223,7 +228,7 @@ class Net(nn.Module):
         self.levels = [
             Level(dense_n=self.dense_n, growth_rate=self.growth_rate,
                   knn=self.knn, step_ratio=self.step_ratio,
-                  name=f"level_{l}")
+                  dtype=self.dtype, name=f"level_{l}")
             for l in range(1, self.num_levels + 1)
         ]
 
@@ -391,17 +396,17 @@ class AdaptiveLevel(nn.Module):
         x = jnp.concatenate([y, x], axis=-1)
 
         y, s_xyz, _ = SampledDenseEdgeConv(**ec, name="layer2")(
-            DenseConv(24, "relu", name="layer2_prep")(x), 48, xyz_n)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer2_prep")(x), 48, xyz_n)
         x = jnp.concatenate([y, self.interpolate(xyz_n, s_xyz, x)], axis=-1)
         prev_xyz = s_xyz
 
         y, s_xyz, _ = SampledDenseEdgeConv(**ec, name="layer3")(
-            DenseConv(24, "relu", name="layer3_prep")(x), 16, prev_xyz)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer3_prep")(x), 16, prev_xyz)
         x = jnp.concatenate([y, self.interpolate(prev_xyz, s_xyz, x)], axis=-1)
         prev_xyz = s_xyz
 
         y, s_xyz, _ = SampledDenseEdgeConv(**ec, name="layer4")(
-            DenseConv(24, "relu", name="layer4_prep")(x), 1, prev_xyz)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer4_prep")(x), 1, prev_xyz)
         x = jnp.concatenate([y, self.interpolate(prev_xyz, s_xyz, x)], axis=-1)
 
         global_features = x                                   # (B, 1, 264)
