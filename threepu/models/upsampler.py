@@ -84,6 +84,8 @@ class Level(nn.Module):
     fm_knn: int = 5
     step_ratio: int = 2
     dtype: Optional[object] = None  # feature-compute dtype (e.g. bf16)
+    dedup: bool = True  # exact duplicate masking in feature kNN; disable
+    #                     only when input clouds are duplicate-free
 
     @property
     def code(self) -> np.ndarray:
@@ -119,8 +121,11 @@ class Level(nn.Module):
         # produce identical features, so this mask is valid for every
         # feature-space kNN below (replaces the reference's per-call
         # host np.unique round trip, operations.py:193-204)
-        from threepu.ops import duplicate_mask
-        dup = duplicate_mask(xyz_normalized)
+        if self.dedup:
+            from threepu.ops import duplicate_mask
+            dup = duplicate_mask(xyz_normalized)
+        else:
+            dup = jnp.zeros(xyz_normalized.shape[:-1], bool)
 
         x = DenseConv(24, activation=None, dtype=self.dtype,
                       name="layer0")(xyz_normalized)
@@ -219,6 +224,7 @@ class Net(nn.Module):
     max_num_point: int = 312
     fm_knn: int = 5
     dtype: Optional[object] = None  # feature-compute dtype (e.g. bf16)
+    dedup: bool = True
 
     @property
     def num_levels(self) -> int:
@@ -228,7 +234,8 @@ class Net(nn.Module):
         self.levels = [
             Level(dense_n=self.dense_n, growth_rate=self.growth_rate,
                   knn=self.knn, step_ratio=self.step_ratio,
-                  dtype=self.dtype, name=f"level_{l}")
+                  fm_knn=self.fm_knn, dtype=self.dtype, dedup=self.dedup,
+                  name=f"level_{l}")
             for l in range(1, self.num_levels + 1)
         ]
 
@@ -361,6 +368,7 @@ class AdaptiveLevel(nn.Module):
     growth_rate: int = 12
     knn: int = 16
     fm_knn: int = 5
+    dtype: Optional[object] = None
 
     @staticmethod
     def gen_grid(grid_size: int) -> np.ndarray:

@@ -86,10 +86,13 @@ def knn_group(
         invalid = ~valid_mask
         penalty = invalid if penalty is None else (penalty | invalid)
     if penalty is not None:
-        # Reference adds max(D) to duplicate columns; a large finite bump
-        # keeps ordering semantics without inf/nan hazards.
-        bump = jnp.max(d, axis=(-1, -2), keepdims=True) + 1.0
-        d = d + bump * penalty[..., None, :].astype(d.dtype)
+        # The reference adds max(D) to duplicate columns
+        # (operations.py:204), which preserves relative order *among*
+        # duplicates; a single-pass finite sentinel gives the same
+        # selection whenever k does not exceed the number of unpenalized
+        # points (always true in practice) without the extra full-matrix
+        # max reduce + rewrite.
+        d = jnp.where(penalty[..., None, :], jnp.asarray(1e30, d.dtype), d)
 
     method = method or DEFAULT_METHOD
     if method == "auto":
