@@ -25,7 +25,7 @@ import math
 import os
 import re
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import h5py
 import jax
@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from threepu.data.augment import augment_batch
-from threepu.ops import knn_group, gather_nd
+from threepu.ops import knn_group
 from threepu.utils import logger
 
 Array = jax.Array

@@ -11,10 +11,9 @@ train step runs — no worker processes, no host copies.
 from __future__ import annotations
 
 from collections import deque
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Tuple
 
 import jax
-import numpy as np
 
 
 class Prefetcher:

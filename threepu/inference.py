@@ -14,7 +14,7 @@ exactly twice: upload the shape, download the result.
 
 from __future__ import annotations
 
-import math
+
 from functools import partial
 from typing import Optional, Tuple
 

@@ -9,7 +9,7 @@ at ``pc_utils.py:39`` is invalid numpy).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

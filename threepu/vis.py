@@ -16,7 +16,7 @@ Three pieces, all optional-dependency-gated:
 
 from __future__ import annotations
 
-from collections import defaultdict
+
 from typing import Dict, Optional, Tuple
 
 import numpy as np
