@@ -161,8 +161,11 @@ class DenseEdgeConv(nn.Module):
         g = self.growth_rate
         c = x.shape[-1]
         if idx is None:
+            # feature-space graph construction: 3-pass (HIGH) matmul is
+            # accurate to ~1e-6 relative and 2x cheaper than HIGHEST
             res = knn_group(x, x, self.k + 1, unique=True,
-                            dup_mask=dup_mask, with_neighbors=False)
+                            dup_mask=dup_mask, with_neighbors=False,
+                            precision=jax.lax.Precision.HIGH)
             idx = res.idx[..., 1:]
 
         # parameters: identical tree paths/shapes to the naive schedule

@@ -54,6 +54,7 @@ def knn_group(
     method: Optional[str] = None,
     recall_target: Optional[float] = None,
     with_neighbors: bool = True,
+    precision=None,
 ) -> KnnResult:
     """Group the ``k`` nearest ``points`` around each ``query``.
 
@@ -77,7 +78,7 @@ def knn_group(
     n = points.shape[-2]
     if k > n:
         raise ValueError(f"k={k} exceeds point count {n}")
-    d = pairwise_dist2(query, points)  # (..., M, N)
+    d = pairwise_dist2(query, points, precision=precision)  # (..., M, N)
     penalty = None
     if unique:
         dup = duplicate_mask(points) if dup_mask is None else dup_mask
