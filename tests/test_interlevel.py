@@ -1,0 +1,78 @@
+import unittest.mock as mock
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+
+import threepu.ops.interlevel_pallas as il
+from threepu.ops import knn_group
+from threepu.ops.gather import batched_gather
+from threepu.models.upsampler import exponential_distance
+
+
+def _xla_reference(q, xq, pxyz, pf, dup, k):
+    """The Level grouped-branch math with exact top-k."""
+    p = pxyz.shape[0]
+    b, n, _ = q.shape
+    group = b // p
+    qr = q.reshape(p, group * n, 3)
+    res = knn_group(qr, pxyz, k, unique=True, dup_mask=dup,
+                    method="exact")
+    nbrs = res.neighbors.reshape(b, n, k, 3)
+    feats = batched_gather(pf, res.idx).reshape(b, n, k, -1)
+    _, sw = exponential_distance(q, nbrs)
+    _, fw = exponential_distance(xq, feats)
+    w = sw * fw
+    w = w / jnp.sum(w + 1e-5, -1, keepdims=True)
+    return jnp.sum(w[..., None] * feats, -2)
+
+
+class TestInterlevelKernel:
+    def test_interpret_matches_xla(self, rng):
+        P, G, N, M, C, K = 2, 3, 16, 40, 12, 4
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        pxyz[0, 7] = pxyz[0, 3]                 # duplicate pair
+        pf = rng.standard_normal((P, M, C)).astype(np.float32)
+        pf[0, 7] = pf[0, 3]                     # duplicate features match
+        dup = np.zeros((P, M), bool)
+        dup[0, 7] = True
+
+        ref = _xla_reference(q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                             jnp.asarray(dup), K)
+        orig = pl.pallas_call
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)):
+            got = il.interlevel_interp_pallas(
+                q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                jnp.asarray(dup), K)
+        # bf16 feature rounding inside the kernel: ~4e-3 relative
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_split_wrapper_consistent(self, rng):
+        """The big-M call splitting must not change results."""
+        P, G, N, M, C, K = 4, 2, 8, 16, 8, 3
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pxyz = jnp.asarray(rng.standard_normal((P, M, 3)).astype(np.float32))
+        pf = jnp.asarray(rng.standard_normal((P, M, C)).astype(np.float32))
+        dup = jnp.zeros((P, M), bool)
+
+        orig = pl.pallas_call
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)):
+            whole = il.interlevel_interp_pallas(q, xq, pxyz, pf, dup, K)
+            with mock.patch.object(il, "_BIG_M", 8), \
+                 mock.patch.object(il, "_MAX_PROGRAMS_BIG_M", 2):
+                split = il.interlevel_interp_pallas(q, xq, pxyz, pf,
+                                                    dup, K)
+        np.testing.assert_allclose(np.asarray(whole), np.asarray(split),
+                                   atol=1e-6)

@@ -158,28 +158,41 @@ class Level(nn.Module):
             from threepu.ops.gather import batched_gather
             prev_xyz, prev_feat = previous_level4
             k = self.fm_knn
-            if prev_group > 1:
-                # search at top-patch batch: sub-patches in a group share
-                # the same previous set
-                p = b // prev_group
-                q_xyz = xyz.reshape(p, prev_group * n, 3)
-                res = knn_group(q_xyz, prev_xyz, k, unique=True,
-                                dup_mask=prev_dup)
-                nbrs = res.neighbors.reshape(b, n, k, 3)
-                knn_feats = batched_gather(prev_feat, res.idx).reshape(
-                    b, n, k, -1)
+            if (prev_group > 1 and prev_dup is not None
+                    and jax.default_backend() == "tpu"):
+                # fused Pallas path: selection + feature gather +
+                # weighting in one VMEM-resident kernel (exact top-k;
+                # bf16 features in the selection matmuls); removes the
+                # (P, NQ, M) distance matrix that otherwise caps memory
+                from threepu.ops.interlevel_pallas import (
+                    interlevel_interp_pallas)
+                interp = interlevel_interp_pallas(
+                    xyz, x.astype(jnp.float32), prev_xyz,
+                    prev_feat.astype(jnp.float32), prev_dup,
+                    k).astype(x.dtype)
             else:
-                res = knn_group(xyz, prev_xyz, k, unique=True,
-                                dup_mask=prev_dup)
-                nbrs = res.neighbors
-                knn_feats = batched_gather(prev_feat, res.idx)
-            # weights normalized per sub-patch (reference h is a per-batch
-            # element statistic, upsampler.py:247-248)
-            _, s_w = exponential_distance(xyz, nbrs)
-            _, f_w = exponential_distance(x, knn_feats)
-            w = s_w * f_w
-            w = w / jnp.sum(w + 1e-5, axis=-1, keepdims=True)
-            interp = jnp.sum(w[..., None] * knn_feats, axis=-2)
+                if prev_group > 1:
+                    # search at top-patch batch: sub-patches in a group
+                    # share the same previous set
+                    p = b // prev_group
+                    q_xyz = xyz.reshape(p, prev_group * n, 3)
+                    res = knn_group(q_xyz, prev_xyz, k, unique=True,
+                                    dup_mask=prev_dup)
+                    nbrs = res.neighbors.reshape(b, n, k, 3)
+                    knn_feats = batched_gather(
+                        prev_feat, res.idx).reshape(b, n, k, -1)
+                else:
+                    res = knn_group(xyz, prev_xyz, k, unique=True,
+                                    dup_mask=prev_dup)
+                    nbrs = res.neighbors
+                    knn_feats = batched_gather(prev_feat, res.idx)
+                # weights normalized per sub-patch (reference h is a
+                # per-batch element statistic, upsampler.py:247-248)
+                _, s_w = exponential_distance(xyz, nbrs)
+                _, f_w = exponential_distance(x, knn_feats)
+                w = s_w * f_w
+                w = w / jnp.sum(w + 1e-5, axis=-1, keepdims=True)
+                interp = jnp.sum(w[..., None] * knn_feats, axis=-2)
             x = 0.2 * interp + x
 
         point_features = x
