@@ -76,3 +76,34 @@ class TestInterlevelKernel:
                                                     dup, K)
         np.testing.assert_allclose(np.asarray(whole), np.asarray(split),
                                    atol=1e-6)
+
+    def test_split_wrapper_group_axis(self, rng):
+        """When the sub-patch count alone exceeds the program limit
+        (whole-shape patches, e.g. n_sub=160), the wrapper must split
+        along the group axis too — not launch >limit programs."""
+        P, G, N, M, C, K = 2, 5, 8, 16, 8, 3
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pxyz = jnp.asarray(rng.standard_normal((P, M, 3)).astype(np.float32))
+        pf = jnp.asarray(rng.standard_normal((P, M, C)).astype(np.float32))
+        dup = jnp.zeros((P, M), bool)
+
+        seen_grids = []
+        orig = pl.pallas_call
+
+        def spy(*a, **kw):
+            seen_grids.append(kw.get("grid"))
+            return orig(*a, interpret=True, **kw)
+
+        with mock.patch.object(il.pl, "pallas_call", spy):
+            whole = il.interlevel_interp_pallas(q, xq, pxyz, pf, dup, K)
+            with mock.patch.object(il, "_BIG_M", 8), \
+                 mock.patch.object(il, "_MAX_PROGRAMS_BIG_M", 2):
+                split = il.interlevel_interp_pallas(q, xq, pxyz, pf,
+                                                    dup, K)
+        np.testing.assert_allclose(np.asarray(whole), np.asarray(split),
+                                   atol=1e-6)
+        # every split-path launch respects the program limit
+        for g in seen_grids[1:]:
+            assert g[0] * g[1] <= 2, f"grid {g} exceeds program limit"

@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "model.py:72 exactly (zero at max ratio)")
     p.add_argument("--chunk", type=int, default=8,
                    help="patch chunk size for inference memory bounding")
+    p.add_argument("--knn_method", default="auto",
+                   choices=["auto", "exact", "approx"],
+                   help="kNN selection backend: 'auto' uses approximate "
+                        "top-k on TPU for large candidate sets (recall "
+                        ">0.99 measured); the reference is always exact "
+                        "— pin 'exact' for strict parity runs")
     p.add_argument("--profile_dir",
                    help="write a jax.profiler trace of the first shape")
     return p
@@ -212,6 +218,9 @@ def run_vis(flags, result_dir: str) -> None:
 
 def main(argv: Optional[list] = None) -> None:
     flags = build_parser().parse_args(argv)
+    if flags.knn_method != "auto":
+        from threepu.ops.knn import set_knn_method
+        set_knn_method(flags.knn_method)
     result_dir = result_path_for(flags)
     if flags.phase == "test":
         assert flags.ckpt is not None, "--ckpt required for test"

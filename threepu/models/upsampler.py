@@ -89,6 +89,11 @@ class Level(nn.Module):
 
     @property
     def code(self) -> np.ndarray:
+        # INTENDED-BEHAVIOUR FIX (like the chamfer backward / jitter
+        # dtype fixes): for step_ratio >= 4 the reference calls
+        # gen_grid(round(sqrt(r))**2) (``upsampler.py:203-204``), which
+        # yields r**2 code points and breaks its own cascade; this
+        # implements the intended r-point 2D grid expansion.
         if self.step_ratio < 4:
             return gen_1d_grid(self.step_ratio)
         expansion = round(math.sqrt(self.step_ratio)) ** 2

@@ -52,7 +52,6 @@ def ball_query(radius: float, nsample: int, points: jax.Array,
     slot_of = jnp.where(within, rank, n)                     # (B, M, N)
     # scatter point index -> slot
     out = jnp.full(d.shape[:-1] + (nsample + 1,), -1, jnp.int32)
-    out = out.at[..., :].set(-1)
     b_idx = jnp.arange(d.shape[0])[:, None, None]
     m_idx = jnp.arange(d.shape[1])[None, :, None]
     slot_clip = jnp.minimum(slot_of, nsample)                # overflow slot

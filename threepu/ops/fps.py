@@ -144,5 +144,10 @@ def fps_hierarchical(points: jax.Array, m: int,
     gmask = mask.reshape(b * groups, per)
     idx = fps_pallas(grouped, m_per, valid_mask=gmask)   # (b*G, m_per)
     offset = (jnp.arange(b * groups, dtype=jnp.int32) % groups) * per
-    idx = (idx + offset[:, None]).reshape(b, groups * m_per)
+    idx = (idx + offset[:, None]).reshape(b, groups, m_per)
+    # Interleave picks round-robin across groups before truncating:
+    # FPS emits picks in decreasing importance, so the m_per*G - m
+    # dropped picks are the *last* pick of each group (each group loses
+    # at most one) instead of the whole tail of the last group.
+    idx = jnp.swapaxes(idx, 1, 2).reshape(b, groups * m_per)
     return idx[:, :m]

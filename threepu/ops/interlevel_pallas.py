@@ -131,17 +131,27 @@ def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
     if m <= _BIG_M or p * group <= _MAX_PROGRAMS_BIG_M:
         return _interlevel_call(q_xyz, xq, prev_xyz, prev_feat,
                                 prev_dup, k)
-    # split the top-patch axis into segments of <= MAX programs
-    p_seg = max(1, _MAX_PROGRAMS_BIG_M // group)
-    outs = []
-    for start in range(0, p, p_seg):
-        stop = min(start + p_seg, p)
-        outs.append(_interlevel_call(
-            q_xyz[start * group:stop * group],
-            xq[start * group:stop * group],
-            prev_xyz[start:stop], prev_feat[start:stop],
-            prev_dup[start:stop], k))
-    return jnp.concatenate(outs, axis=0)
+    # Split BOTH grid axes into segments whose product stays <= MAX
+    # programs: group (sub-patch) first — with whole-shape patches
+    # (e.g. n_sub=160 at num_point=5000) it alone exceeds the limit —
+    # then the top-patch axis.
+    g_seg = min(group, _MAX_PROGRAMS_BIG_M)
+    p_seg = max(1, _MAX_PROGRAMS_BIG_M // g_seg)
+    q4 = q_xyz.reshape(p, group, n, 3)
+    xq4 = xq.reshape(p, group, n, c)
+    outs_p = []
+    for ps in range(0, p, p_seg):
+        pe = min(ps + p_seg, p)
+        outs_g = []
+        for gs in range(0, group, g_seg):
+            ge = min(gs + g_seg, group)
+            sub = _interlevel_call(
+                q4[ps:pe, gs:ge].reshape((pe - ps) * (ge - gs), n, 3),
+                xq4[ps:pe, gs:ge].reshape((pe - ps) * (ge - gs), n, c),
+                prev_xyz[ps:pe], prev_feat[ps:pe], prev_dup[ps:pe], k)
+            outs_g.append(sub.reshape(pe - ps, ge - gs, n, c))
+        outs_p.append(jnp.concatenate(outs_g, axis=1))
+    return jnp.concatenate(outs_p, axis=0).reshape(b, n, c)
 
 
 @partial(jax.jit, static_argnames=("k",))

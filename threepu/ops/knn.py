@@ -37,10 +37,32 @@ class KnnResult(NamedTuple):
 #: (lax.approx_max_k, ~20x faster than exact top_k at N >= ~4k with
 #: measured recall > 0.99) only on TPU for large candidate sets and
 #: small k; everywhere else (CPU, training-sized sets) it stays exact.
+#:
+#: DEVIATION FROM REFERENCE: the reference's kNN is always exact
+#: (``network/operations.py:207`` torch.topk).  Under "auto" on TPU,
+#: eval-time neighbour selection over merged point sets (N >= 4096) is
+#: approximate.  For strict parity runs, pin exact selection globally
+#: with :func:`set_knn_method` ("exact") or the CLI ``--knn_method``
+#: flag; the reference-parity harness does this.
 DEFAULT_METHOD = "auto"
 APPROX_RECALL_TARGET = 0.95
 _APPROX_MIN_N = 4096
 _APPROX_MAX_K = 64
+
+_KNN_METHODS = ("auto", "exact", "approx")
+
+
+def set_knn_method(method: str) -> None:
+    """Set the global default kNN selection backend (trace-time)."""
+    global DEFAULT_METHOD
+    if method not in _KNN_METHODS:
+        raise ValueError(
+            f"unknown knn method {method!r}; choose from {_KNN_METHODS}")
+    DEFAULT_METHOD = method
+
+
+def get_knn_method() -> str:
+    return DEFAULT_METHOD
 
 
 def knn_group(
