@@ -162,6 +162,34 @@ def import_pth(path: str, target_params: Optional[Any] = None
     return {"params": _unflatten(flat)}, step
 
 
+def save_pth(path: str, params: Any, step: int = 0,
+             label: Optional[str] = None,
+             epoch: Optional[int] = None) -> str:
+    """Write a reference-loadable torch checkpoint.
+
+    Mirrors ``utils/pytorch_utils.py:7-15`` (``save_network``): the file
+    holds ``{"states": state_dict, "step": str(step)}``.  With ``label``
+    and ``epoch``, ``path`` is treated as a directory and the file is
+    named ``{label}_{epoch}.pth`` like the reference.  Returns the path
+    written.  Round trip: :func:`import_pth` and the reference's
+    ``load_network`` both restore it.
+    """
+    import torch
+
+    blob = export_reference_state(params, step)
+    blob["states"] = {k: torch.from_numpy(np.array(v, copy=True))
+                      for k, v in blob["states"].items()}
+    if label is not None and epoch is not None:
+        os.makedirs(path, exist_ok=True)
+        path = os.path.join(path, f"{label}_{epoch}.pth")
+    else:
+        dirname = os.path.dirname(path)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+    torch.save(blob, path)
+    return path
+
+
 def export_reference_state(params: Any, step: int = 0) -> Dict[str, Any]:
     """Reverse bridge: flax tree -> reference-named torch state dict
     (numpy values), for users moving back or for parity tooling."""
