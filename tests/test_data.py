@@ -155,6 +155,28 @@ class TestH5DatasetCompat:
         assert inp.shape == (2, 3, 16)
         assert lab.shape == (2, 3, 16 * 8)
 
+    def test_sync_to_step(self, h5_file):
+        """Mirrors the reference train() curriculum restore
+        (main.py:141-157): fresh run (step 0) -> scales [2],
+        uncombined; mid-stage-2 -> [2, 4]; late progress -> combined."""
+        ds = H5Dataset(h5_file, num_shape_point=32, num_patch_point=16,
+                       batch_size=2, up_ratio=16)
+        stage, progress = ds.sync_to_step(0, stage_steps=100)
+        assert (stage, progress) == (0, 0.5)
+        assert ds.curr_scales == [2]
+        assert not ds._combined
+
+        ds.sync_to_step(125, stage_steps=100)   # stage 1, progress 0.125
+        assert ds.curr_scales == [2, 4]
+        assert not ds._combined
+
+        stage, progress = ds.sync_to_step(50, stage_steps=100)
+        assert progress > 0.5 and ds._combined
+
+        # up_ratio caps the stage-derived max scale
+        ds.sync_to_step(10_000, stage_steps=100, up_ratio=16)
+        assert ds.curr_scales == [2, 4, 8, 16]
+
 
 class TestPrefetcher:
     def test_orders_and_ratios(self, h5_file):

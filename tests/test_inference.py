@@ -81,6 +81,35 @@ class TestUpsamplePointCloud:
         assert inp.shape == (64, 3)
         assert up.shape == (128, 3)
 
+    def test_bucketed_matches_exact(self, net_and_params, shape):
+        """Bucketing (pad to a static size + masks) must reproduce the
+        exact-size pipeline bit for bit on CPU: FPS selection is
+        prefix-consistent and masked points are unselectable.  (On TPU
+        the bucketed and exact programs are distinct XLA compilations
+        whose fusion/FMA rounding can flip selection near-ties; there
+        the guarantee is set-level — benchmarks/tpu_checks.py asserts
+        the Chamfer bound on hardware.)"""
+        net, params = net_and_params
+        for n_real in (100, 128):
+            pts = shape[:n_real]
+            exact_in, exact_up = upsample_shape(
+                net, params, pts, 2, num_point=16, chunk=4)
+            buck_in, buck_up = upsample_shape(
+                net, params, pts, 2, num_point=16, chunk=4, bucket=64)
+            assert buck_up.shape == exact_up.shape
+            np.testing.assert_allclose(buck_up, exact_up, atol=1e-5)
+
+    def test_bucketed_shares_one_compile(self, net_and_params, shape):
+        """Two sizes in one bucket must hit the same compiled program
+        (the whole point: no ~minute recompile per distinct size)."""
+        net, params = net_and_params
+        upsample_shape(net, params, shape[:100], 2, num_point=16,
+                       chunk=4, bucket=64)
+        before = upsample_point_cloud._cache_size()
+        upsample_shape(net, params, shape[:90], 2, num_point=16,
+                       chunk=4, bucket=64)
+        assert upsample_point_cloud._cache_size() == before
+
 
 class TestShardedInference:
     def test_matches_single_device(self, net_and_params, shape):

@@ -55,6 +55,59 @@ class TestInterlevelKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-2, rtol=2e-2)
 
+    def test_select_path_matches_xla(self, rng):
+        """Big-M dispatch (selection kernel + XLA gather) must agree
+        with the exact XLA formulation; features stay f32 here so the
+        tolerance is float noise, not the bf16 band."""
+        P, G, N, M, C, K = 2, 3, 16, 40, 12, 4
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        pxyz[0, 7] = pxyz[0, 3]
+        pf = rng.standard_normal((P, M, C)).astype(np.float32)
+        pf[0, 7] = pf[0, 3]
+        dup = np.zeros((P, M), bool)
+        dup[0, 7] = True
+
+        ref = _xla_reference(q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                             jnp.asarray(dup), K)
+        orig = pl.pallas_call
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)), \
+                mock.patch.object(il, "_FUSED_VMEM_BUDGET", 0):
+            got = il.interlevel_interp_pallas(
+                q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                jnp.asarray(dup), K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_select_kernel_matches_knn(self, rng):
+        """interlevel_select_pallas == exact kNN on indices and
+        distances (unique semantics via the duplicate mask)."""
+        P, G, N, M, K = 2, 2, 8, 48, 5
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        pxyz[1, 5] = pxyz[1, 2]
+        dup = np.zeros((P, M), bool)
+        dup[1, 5] = True
+
+        res = knn_group(q.reshape(P, G * N, 3), jnp.asarray(pxyz), K,
+                        unique=True, dup_mask=jnp.asarray(dup),
+                        method="exact")
+        orig = pl.pallas_call
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)):
+            d, idx = il.interlevel_select_pallas(
+                q, jnp.asarray(pxyz), jnp.asarray(dup), K)
+        np.testing.assert_array_equal(
+            np.asarray(res.idx).reshape(P * G, N, K), np.asarray(idx))
+        np.testing.assert_allclose(
+            np.asarray(res.dist2).reshape(P * G, N, K), np.asarray(d),
+            atol=1e-4)
+
     def test_split_wrapper_consistent(self, rng):
         """The big-M call splitting must not change results."""
         P, G, N, M, C, K = 4, 2, 8, 16, 8, 3

@@ -130,6 +130,50 @@ class TestTrainLoop:
         assert int(state.step) == 10
         assert any(k.startswith("cd_loss") for k in error_log)
 
+    def test_log_fn_receives_pred_and_running_mean(self, h5_file,
+                                                   tmp_path):
+        """Log steps must expose the training prediction and the
+        running-mean error (visdom parity, ``main.py:184-201``)."""
+        calls = []
+
+        def log_fn(step, ratio, loss, state, batch, pred=None,
+                   gt_out=None, error=None):
+            calls.append((step, ratio, pred, gt_out, error))
+
+        cfg = TrainConfig(
+            h5_data=h5_file, num_shape_point=32, num_point=12,
+            batch_size=2, up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+            dense_n=2, max_num_point=12, stage_steps=100, max_epoch=1,
+            model_dir=str(tmp_path), lr_init=1e-3, log_steps=2)
+        train_loop(cfg, max_steps=4, log_fn=log_fn)
+        assert [c[0] for c in calls] == [2, 4]
+        for step, ratio, pred, gt_out, error in calls:
+            assert pred is not None and pred.ndim == 3
+            assert pred.shape[-1] == 3
+            assert gt_out is not None and gt_out.ndim == 3
+            assert error is not None and np.isfinite(error)
+
+    def test_pth_checkpoint_format(self, h5_file, tmp_path):
+        """ckpt_format='pth' writes reference-named, reference-loadable
+        files ({label}_{epoch}.pth)."""
+        pytest.importorskip("torch")
+        from threepu.train.loop import save_epoch_checkpoint
+        from threepu.io import import_pth
+
+        cfg = TrainConfig(
+            h5_data=h5_file, num_shape_point=32, num_point=12,
+            batch_size=2, up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+            dense_n=2, max_num_point=12, stage_steps=4, max_epoch=1,
+            model_dir=str(tmp_path / "pth"), lr_init=1e-3,
+            ckpt_format="pth")
+        state, _ = train_loop(cfg, max_steps=2)
+        path = save_epoch_checkpoint(cfg, state, int(state.step), 7)
+        assert path.endswith("model_7.pth")
+        restored, step = import_pth(path)
+        assert step == 2
+        flat = jax.tree_util.tree_leaves(restored["params"])
+        assert flat and all(np.all(np.isfinite(x)) for x in flat)
+
     def test_resume_from_checkpoint(self, h5_file, tmp_path):
         from threepu.io import save_checkpoint
         cfg = TrainConfig(

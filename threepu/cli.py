@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "top-k on TPU for large candidate sets (recall "
                         ">0.99 measured); the reference is always exact "
                         "— pin 'exact' for strict parity runs")
+    p.add_argument("--bucket", type=int,
+                   help="point-count bucket quantum for mixed-size test "
+                        "sets: shapes are padded+masked to the next "
+                        "multiple so each bucket compiles once "
+                        "(same selection semantics; outputs set-"
+                        "identical to exact-size compiles; try 1024)")
     p.add_argument("--profile_dir",
                    help="write a jax.profiler trace of the first shape")
     return p
@@ -174,14 +180,16 @@ def run_test(flags, result_dir: str) -> None:
                     patch_num_ratio=flags.patch_num_ratio,
                     chunk=flags.chunk, jitter=flags.jitter,
                     jitter_sigma=flags.jitter_sigma,
-                    jitter_max=flags.jitter_max, drop_out=flags.drop_out)
+                    jitter_max=flags.jitter_max, drop_out=flags.drop_out,
+                    bucket=flags.bucket)
         else:
             start = time.time()
             inp, up = upsample_shape(
                 net, params, data, flags.up_ratio, num_point=num_point,
                 patch_num_ratio=flags.patch_num_ratio, chunk=flags.chunk,
                 jitter=flags.jitter, jitter_sigma=flags.jitter_sigma,
-                jitter_max=flags.jitter_max, drop_out=flags.drop_out)
+                jitter_max=flags.jitter_max, drop_out=flags.drop_out,
+                bucket=flags.bucket)
         logger.info(f"total time: {time.time() - start:.3f}s "
                     f"({up.shape[0]} points)")
         save_ply(inp, out_path[:-4] + "_input.ply")

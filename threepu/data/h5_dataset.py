@@ -200,6 +200,26 @@ class H5Dataset:
         n = int(math.log(ratio, self.step_ratio))
         self.curr_scales = [self.step_ratio ** r for r in range(1, n + 1)]
 
+    def sync_to_step(self, step: int, stage_steps: int = 15000,
+                     up_ratio: int | None = None):
+        """Restore the curriculum state for a given global step, exactly
+        like the reference ``train()`` setup (``main.py:141-157``): the
+        class itself boots with the *full* curriculum (``data.py:41-44``,
+        same as the reference class) and the driver immediately corrects
+        it from the step.  Returns ``(stage, progress)`` so the caller
+        can also set the Chamfer threshold (progress > 0.6)."""
+        stage = (step + stage_steps) // (2 * stage_steps)
+        progress = (step + stage_steps) / (2 * stage_steps) - stage
+        max_ratio = self.step_ratio ** (stage + 1)
+        if up_ratio is not None:
+            max_ratio = min(max_ratio, up_ratio)
+        self.set_max_ratio(max_ratio)
+        if progress > 0.5:
+            self.set_combined()
+        else:
+            self.unset_combined()
+        return stage, progress
+
     def __len__(self):
         return 300 * self.batch_size
 

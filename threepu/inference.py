@@ -50,7 +50,9 @@ def plan_patches(num_shape_point: int, num_point: int,
 def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                          num_point: int, num_out: int,
                          patch_num_ratio: float = 3.0,
-                         chunk: Optional[int] = None) -> Array:
+                         chunk: Optional[int] = None,
+                         valid_n: Optional[Array] = None,
+                         valid_patches: Optional[Array] = None) -> Array:
     """Upsample one (normalized) shape.
 
     Args:
@@ -60,9 +62,27 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
       num_point: patch size (NUM_POINT, default 312).
       num_out: output point count (``int(num_shape_point) * ratio``,
         ``main.py:379-380``).
+      valid_n: optional traced scalar — only the first ``valid_n`` rows
+        of ``xyz`` are real (bucketed mixed-size datasets: ``xyz`` is
+        padded to a static bucket so one compile serves every size in
+        the bucket).  FPS selection is prefix-consistent — the first k
+        picks of an m-pick run equal a k-pick run — and masked points
+        are unselectable, so bucketing has the same selection semantics
+        as an exact-size compile.  Equality caveat: bucketed and exact
+        sizes compile to *different* XLA programs, and on TPU the
+        compiler's fusion/FMA choices can differ between them, flipping
+        kNN/FPS near-ties; outputs then agree as point *sets* (measured
+        Chamfer ~2e-10 vs a ~1e-3 spacing scale) rather than bit-for-bit
+        row order.  On CPU (and whenever the compiled programs match)
+        the result is bit-identical.
+      valid_patches: traced scalar, the reference patch count for the
+        real size (``int(true_n / num_point * patch_num_ratio)``); seeds
+        beyond it are masked out of the merge.
 
     Returns:
-      ``(num_out, 3)`` upsampled shape in the same normalized frame.
+      ``(num_out, 3)`` upsampled shape in the same normalized frame;
+      with bucketing, callers slice the first ``true_n * ratio`` rows
+      (FPS prefix consistency again).
     """
     n = xyz.shape[0]
     num_patches, padded, chunk = plan_patches(n, num_point,
@@ -70,9 +90,13 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
 
     # seed-FPS + grouping over the whole shape (main.py:228-235)
     shape_b = xyz[None]                                       # (1, N, 3)
-    seed_idx = _dispatch_fps(shape_b, num_patches, None, None)
+    n_mask = None
+    if valid_n is not None:
+        n_mask = (jnp.arange(n) < valid_n)[None]              # (1, N)
+    seed_idx = _dispatch_fps(shape_b, num_patches, n_mask, None)
     seeds = gather_nd(shape_b, seed_idx)                      # (1, P, 3)
-    patches = knn_group(seeds, shape_b, num_point).neighbors[0]
+    patches = knn_group(seeds, shape_b, num_point,
+                        valid_mask=n_mask).neighbors[0]
 
     if padded != num_patches:
         pad = jnp.broadcast_to(patches[:1],
@@ -92,12 +116,22 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
 
     merged = up.reshape(1, padded * num_point * ratio, 3)
     valid = None
-    if padded != num_patches:
-        valid = (jnp.arange(padded)[:, None] < num_patches)
+    patch_limit = None
+    if valid_patches is not None:
+        patch_limit = valid_patches
+    elif padded != num_patches:
+        patch_limit = num_patches
+    if patch_limit is not None:
+        valid = (jnp.arange(padded)[:, None] < patch_limit)
         valid = jnp.broadcast_to(
             valid, (padded, num_point * ratio)).reshape(1, -1)
     final_idx = _dispatch_fps(merged, num_out, valid, None)
     return gather_nd(merged, final_idx)[0]
+
+
+def bucket_size(n: int, quantum: int = 1024) -> int:
+    """Round a point count up to the next bucket boundary."""
+    return -(-n // quantum) * quantum
 
 
 def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
@@ -107,10 +141,22 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
                    jitter: bool = False, jitter_sigma: float = 0.0025,
                    jitter_max: float = 0.005,
                    drop_out: float = 1.0,
-                   seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+                   seed: int = 0,
+                   bucket: Optional[int] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing convenience mirroring ``test()``'s per-file flow
     (``main.py:341-389``): optional FPS drop-out, normalize, optional
     jitter, device pipeline, denormalize.
+
+    ``bucket`` (a point-count quantum, e.g. 1024) enables static-shape
+    bucketing for mixed-size datasets: the shape is zero-padded up to
+    the bucket boundary and masked through seed-FPS / grouping / final
+    FPS, so every size in a bucket shares ONE compiled program instead
+    of paying a fresh ~minute-scale XLA compile per distinct size.
+    Selection semantics are identical to an exact-size compile; outputs
+    are bit-identical on CPU and set-identical (Chamfer level) on TPU,
+    where the two distinct XLA programs may round differently (see
+    :func:`upsample_point_cloud`).
 
     Returns (input points as processed, upsampled points), both in the
     original coordinate frame.
@@ -133,10 +179,23 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
             is_2D=is_2d)[0]
 
     num_out = int(n_keep) * ratio
-    up = upsample_point_cloud(net, params, jnp.asarray(data), ratio,
-                              num_point, num_out,
-                              patch_num_ratio=patch_num_ratio,
-                              chunk=chunk)
-    up = np.asarray(up) * furthest + centroid
+    n_real = data.shape[0]
+    if bucket is not None and bucket_size(n_real, bucket) != n_real:
+        n_b = bucket_size(n_real, bucket)
+        true_patches = max(
+            int(n_real / num_point * patch_num_ratio), 1)
+        padded = np.zeros((n_b, 3), np.float32)
+        padded[:n_real] = data
+        up = upsample_point_cloud(
+            net, params, jnp.asarray(padded), ratio, num_point,
+            n_b * ratio, patch_num_ratio=patch_num_ratio, chunk=chunk,
+            valid_n=jnp.asarray(n_real, jnp.int32),
+            valid_patches=jnp.asarray(true_patches, jnp.int32))
+        up = np.asarray(up)[:num_out]
+    else:
+        up = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(data), ratio, num_point, num_out,
+            patch_num_ratio=patch_num_ratio, chunk=chunk))
+    up = up * furthest + centroid
     data = data * furthest + centroid
     return data, up

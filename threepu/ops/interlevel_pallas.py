@@ -114,20 +114,193 @@ def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
     return kernel
 
 
+#: column-chunk width for the selection sweeps: bounds the kernel's
+#: (q_tile, chunk) transients (the axon compiler's scoped-vmem stack
+#: OOMs near (104, 16k) f32 transients — observed 39M > 16M limit)
+_SELECT_M_CHUNK = 2048
+
+
+def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
+                        q_tile: int):
+    """Selection-only variant: top-K sweeps emitting (distance, index)
+    rows, no feature traffic.  VMEM holds just the coordinate planes
+    (3 * Mp * 4 bytes) and fixed (q_tile, chunk) transients — the M axis
+    is streamed in :data:`_SELECT_M_CHUNK` column chunks (plane refs are
+    laid out (n_chunks, chunk) so the loop indexes the sublane axis)
+    with a running (min, argmin) carry — so M scales far beyond what the
+    fused kernel's resident (Mp, Cp) feature block allows."""
+    n_tiles = n // q_tile
+    assert n_tiles * q_tile == n
+
+    def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+               d_ref, i_ref):
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (q_tile, chunk), 1)
+
+        for t in range(n_tiles):
+            sl = pl.ds(t * q_tile, q_tile)
+            qx = qx_ref[0, 0, sl]            # (q_tile, 1)
+            qy = qy_ref[0, 0, sl]
+            qz = qz_ref[0, 0, sl]
+            d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
+            i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
+            d_sel, i_sel = [], []
+            for _ in range(k):
+                def chunk_body(c, carry):
+                    best_d, best_i = carry
+                    px_c = px_ref[0, pl.ds(c, 1), :]      # (1, chunk)
+                    py_c = py_ref[0, pl.ds(c, 1), :]
+                    pz_c = pz_ref[0, pl.ds(c, 1), :]
+                    dx = qx - px_c
+                    dy = qy - py_c
+                    dz = qz - pz_c
+                    d = dx * dx + dy * dy + dz * dz
+                    jj = j_iota + c * chunk
+                    later = (d > d_prev) | ((d == d_prev) & (jj > i_prev))
+                    cand = jnp.where(later, d, _BIG)
+                    d_c = jnp.min(cand, axis=1, keepdims=True)
+                    i_c = jnp.min(jnp.where(cand == d_c, jj, _BIG_I),
+                                  axis=1, keepdims=True)
+                    take = (d_c < best_d) | ((d_c == best_d)
+                                             & (i_c < best_i))
+                    return (jnp.where(take, d_c, best_d),
+                            jnp.where(take, i_c, best_i))
+
+                d_k, i_k = jax.lax.fori_loop(
+                    0, n_chunks, chunk_body,
+                    (jnp.full((q_tile, 1), _BIG, jnp.float32),
+                     jnp.full((q_tile, 1), _BIG_I, jnp.int32)))
+                d_sel.append(d_k)
+                i_sel.append(i_k)
+                d_prev, i_prev = d_k, i_k
+            k_pad = d_ref.shape[-1]
+            pad_d = [jnp.zeros((q_tile, 1), jnp.float32)] * (k_pad - k)
+            pad_i = [jnp.zeros((q_tile, 1), jnp.int32)] * (k_pad - k)
+            d_ref[0, 0, sl, :] = jnp.concatenate(d_sel + pad_d, axis=1)
+            i_ref[0, 0, sl, :] = jnp.concatenate(i_sel + pad_i, axis=1)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k",))
+def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
+                             prev_dup: jax.Array, k: int):
+    """Exact spatial top-K of each query against the (shared) previous
+    set, unique semantics via duplicate displacement.  Returns
+    ``(dist2 (B, N, k) f32 ascending, idx (B, N, k) int32)``."""
+    b, n, _ = q_xyz.shape
+    p, m, _ = prev_xyz.shape
+    assert b % p == 0
+    group = b // p
+    # pad M to a whole number of selection chunks
+    unit = _SELECT_M_CHUNK if m > _SELECT_M_CHUNK else 512
+    m_pad = -(-m // unit) * unit
+    k_pad = -(-k // 128) * 128
+
+    chunk = min(_SELECT_M_CHUNK, m_pad)
+    n_chunks = m_pad // chunk
+
+    far = jnp.where(prev_dup[..., None], 1e15, 0.0).astype(jnp.float32)
+    pc = prev_xyz.astype(jnp.float32) + far
+    pc = jnp.pad(pc, ((0, 0), (0, m_pad - m), (0, 0)),
+                 constant_values=1e15)
+    # chunked plane layout (P, n_chunks, chunk): the kernel streams the
+    # M axis by indexing the sublane axis
+    p_planes = [pc[..., i].reshape(p, n_chunks, chunk) for i in range(3)]
+
+    q = q_xyz.astype(jnp.float32).reshape(p, group, n, 3)
+    q_planes = [q[..., i][..., None] for i in range(3)]
+
+    q_spec = pl.BlockSpec((1, 1, n, 1), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((1, n_chunks, chunk), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, n, k_pad), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    q_tile = n
+    for cand in (104, 128, 64, 52, 8):
+        if n % cand == 0:
+            q_tile = cand
+            break
+
+    d, idx = pl.pallas_call(
+        _make_select_kernel(k, n, n_chunks, chunk, q_tile),
+        grid=(p, group),
+        in_specs=[q_spec] * 3 + [p_spec] * 3,
+        out_specs=[out_spec, out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, group, n, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((p, group, n, k_pad), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * k * p * group * n * m_pad,
+            bytes_accessed=p * m_pad * 12 + b * n * k_pad * 8,
+            transcendentals=0),
+    )(*q_planes, *p_planes)
+    return (d[..., :k].reshape(b, n, k),
+            idx[..., :k].reshape(b, n, k))
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _interp_from_selection(d: jax.Array, idx: jax.Array, xq: jax.Array,
+                           prev_feat: jax.Array, k: int) -> jax.Array:
+    """XLA tail of the big-M path: gather the K selected feature rows
+    and apply the reference weighting (``upsampler.py:316-347``).  The
+    gather output is only (B, N, K, C) — the (P, NQ, M) distance matrix
+    of the naive XLA formulation never exists."""
+    from threepu.ops.gather import batched_gather
+
+    b, n, _ = d.shape
+    p, m, c = prev_feat.shape
+    group = b // p
+    feats = batched_gather(
+        prev_feat, idx.reshape(p, group * n, k)).reshape(b, n, k, c)
+    d = jax.lax.stop_gradient(d)
+    h_s = jnp.mean(d[..., :1], axis=-2, keepdims=True)  # per sub-patch
+    w_s = jnp.exp(-d / (h_s / 2.0))
+    f_d = jax.lax.stop_gradient(
+        jnp.sum((xq[..., :, None, :] - feats) ** 2, axis=-1))
+    h_f = jnp.mean(jnp.min(f_d, axis=-1, keepdims=True), axis=-2,
+                   keepdims=True)
+    w_f = jnp.exp(-f_d / (h_f / 2.0))
+    w = w_s * w_f
+    w = w / jnp.sum(w + 1e-5, axis=-1, keepdims=True)
+    return jnp.sum(w[..., None] * feats, axis=-2)
+
+
 #: the axon remote compiler crashes on kernels with M > ~3.5k AND more
 #: than ~40 grid programs; split calls to stay under the limit
 _MAX_PROGRAMS_BIG_M = 40
 _BIG_M = 3584
 
+#: per-program VMEM budget for the fused kernel's resident feature
+#: block (bf16, double-buffered) + xq/out blocks; beyond this the axon
+#: compiler reports scoped-vmem OOM (observed: 27.2M > 16M limit at
+#: M=15872, C=384), so big-M calls switch to selection-kernel + XLA
+#: gather instead.
+_FUSED_VMEM_BUDGET = 13 * 2**20
+
+
+def _fused_vmem_bytes(m_pad: int, c_pad: int, n: int) -> int:
+    feats = 2 * m_pad * c_pad * 2          # bf16, double-buffered
+    xq_out = 2 * 2 * n * c_pad * 4         # f32 blocks, double-buffered
+    planes = 3 * m_pad * 4
+    return feats + xq_out + planes
+
 
 def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
                              prev_xyz: jax.Array, prev_feat: jax.Array,
                              prev_dup: jax.Array, k: int) -> jax.Array:
-    """Splitting wrapper around :func:`_interlevel_call` (see the
-    module docstring for the kernel itself)."""
+    """Dispatching wrapper: fully fused kernel when the previous-level
+    feature block fits VMEM, otherwise selection kernel + XLA gather
+    (see the module docstring and :func:`interlevel_select_pallas`)."""
     b, n, _ = q_xyz.shape
     p, m, c = prev_feat.shape
     group = b // p
+    m_pad = -(-m // 512) * 512
+    c_pad = -(-c // 128) * 128
+    if _fused_vmem_bytes(m_pad, c_pad, n) > _FUSED_VMEM_BUDGET:
+        d, idx = interlevel_select_pallas(q_xyz, prev_xyz, prev_dup, k)
+        return _interp_from_selection(d, idx, xq, prev_feat, k)
     if m <= _BIG_M or p * group <= _MAX_PROGRAMS_BIG_M:
         return _interlevel_call(q_xyz, xq, prev_xyz, prev_feat,
                                 prev_dup, k)

@@ -61,6 +61,9 @@ class TrainConfig:
     seed: int = 0
     weight_mode: str = "floored"
     mesh: Optional[object] = None         # jax Mesh for multi-chip DP
+    ckpt_format: str = "npz"              # "npz" | "pth" (reference
+    #                                       {label}_{epoch}.pth files,
+    #                                       utils/pytorch_utils.py:7-15)
 
     @property
     def patch_point(self) -> int:
@@ -72,6 +75,23 @@ def build_net(cfg: TrainConfig) -> Net:
                knn=cfg.knn, growth_rate=cfg.growth_rate,
                dense_n=cfg.dense_n, fm_knn=cfg.fm_knn,
                max_num_point=cfg.max_num_point)
+
+
+def save_epoch_checkpoint(cfg: TrainConfig, state, step: int,
+                          epoch: int) -> str:
+    """Write the epoch checkpoint with the reference's
+    ``{label}_{epoch}`` naming (``utils/pytorch_utils.py:7-15``,
+    ``main.py:208-211``): native ``model_{epoch}.npz`` by default, or a
+    reference-loadable ``model_{epoch}.pth`` with
+    ``cfg.ckpt_format == "pth"``."""
+    params_host = jax.device_get(state.params)
+    if cfg.ckpt_format == "pth":
+        from threepu.io import save_pth
+        return save_pth(cfg.model_dir, {"params": params_host},
+                        step=step, label="model", epoch=epoch)
+    path = os.path.join(cfg.model_dir, f"model_{epoch}.npz")
+    save_checkpoint(path, {"params": params_host}, step=step)
+    return path
 
 
 def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
@@ -136,10 +156,22 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             st = curriculum_state(step, cfg.stage_steps, cfg.up_ratio,
                                   cfg.step_ratio, cfg.cd_threshold)
             key, k_step = jax.random.split(key)
-            step_fn = sharded_step or train_step
-            state, cd = step_fn(net, tx, state, k_step, inp, gt, ratio,
-                                threshold=st.threshold,
-                                weight_mode=cfg.weight_mode)
+            # log steps run the with_pred program variant so the monitor
+            # can plot the actual prediction (main.py:184-195)
+            log_now = (log_fn is not None
+                       and (step + 1) % cfg.log_steps == 0
+                       and sharded_step is None)
+            pred = gt_out = None
+            if log_now:
+                state, cd, (pred, gt_out) = train_step(
+                    net, tx, state, k_step, inp, gt, ratio,
+                    threshold=st.threshold, weight_mode=cfg.weight_mode,
+                    with_pred=True)
+            else:
+                step_fn = sharded_step or train_step
+                state, cd = step_fn(net, tx, state, k_step, inp, gt,
+                                    ratio, threshold=st.threshold,
+                                    weight_mode=cfg.weight_mode)
             step += 1
             w = loss_weight(ratio, cfg.up_ratio, cfg.step_ratio,
                             cfg.weight_mode)
@@ -147,15 +179,14 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             prev = error_log[k]
             error_log[k] = prev + (float(cd) * w - prev) / (step + 1)
             if log_fn is not None and step % cfg.log_steps == 0:
-                log_fn(step, ratio, float(cd), state, (inp, gt))
+                log_fn(step, ratio, float(cd), state, (inp, gt),
+                       pred=pred, gt_out=gt_out, error=error_log[k])
 
         logger.info(
             f"epoch {epoch}: " + ", ".join(
                 f"{k}={v:.6f}" for k, v in sorted(error_log.items()))
             + f" ({(time.time() - t0):.1f}s)")
         if epoch % cfg.ckpt_epochs == 0:
-            path = os.path.join(cfg.model_dir, f"model_{epoch}.npz")
-            save_checkpoint(path, {"params": jax.device_get(state.params)},
-                            step=step)
+            path = save_epoch_checkpoint(cfg, state, step, epoch)
             logger.info(f"saved {path}")
     return state, error_log

@@ -68,18 +68,23 @@ def create_train_state(net, key: Array, example_input: Array,
 
 
 @partial(jax.jit, static_argnames=("net", "tx", "ratio", "threshold",
-                                   "weight_mode"),
+                                   "weight_mode", "with_pred"),
          donate_argnames=("state",))
 def train_step(net, tx, state: TrainState, key: Array,
                input_patches: Array, gt_patches: Array, ratio: int,
                threshold: Optional[float] = None,
-               weight_mode: str = "floored"
-               ) -> Tuple[TrainState, Array]:
+               weight_mode: str = "floored",
+               with_pred: bool = False):
     """One optimization step (``model.py:53-66``).
 
     input (B, K, 3), gt (B, rK, 3) channels-last.  Returns the new state
     and the *unweighted* Chamfer loss (the reference logs the weighted
     one; both derive from the returned value and the static weight).
+    With ``with_pred`` additionally returns ``(pred, gt_out)`` from the
+    training forward — the reference's ``model.predicted`` /
+    ``model.gt`` that the visdom monitor plots every 50 steps
+    (``main.py:184-195``); a separate compiled variant used only on log
+    steps.
     """
     weight = loss_weight(ratio, net.max_up_ratio, net.step_ratio,
                          weight_mode)
@@ -89,12 +94,16 @@ def train_step(net, tx, state: TrainState, key: Array,
                                  gt_patches, train=True,
                                  rngs={"patch": key})
         cd = chamfer_loss(pred, gt_out, threshold=threshold)
-        return cd * weight, cd
+        return cd * weight, (cd, pred, gt_out)
 
-    (_, cd), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    (_, (cd, pred, gt_out)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    return TrainState(new_params, new_opt, state.step + 1), cd
+    new_state = TrainState(new_params, new_opt, state.step + 1)
+    if with_pred:
+        return new_state, cd, (pred, gt_out)
+    return new_state, cd
 
 
 class Model:

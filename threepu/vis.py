@@ -36,18 +36,31 @@ class VisdomMonitor:
         except Exception:
             logger.warn("visdom unavailable; training monitor disabled")
 
-    def log_train_step(self, step, ratio, loss, state, batch) -> None:
+    def log_train_step(self, step, ratio, loss, state, batch,
+                       pred=None, gt_out=None, error=None) -> None:
+        """Mirror of ``main.py:184-201``: input / output / gt scatter
+        windows plus the running-mean ``error_log`` curve.  ``pred`` /
+        ``gt_out`` are the training forward's prediction and re-patched
+        gt (``model.predicted`` / ``model.gt``); ``error`` is the
+        running-mean weighted loss plotted on the line."""
         if self._vis is None:
             return
         inp, gt = batch
+        if gt_out is not None:
+            gt = gt_out
         try:
             self._vis.scatter(
                 np.asarray(inp[0]), win=f"x{ratio}_input",
                 opts=dict(title=f"x{ratio}_input", markersize=2))
+            if pred is not None:
+                self._vis.scatter(
+                    np.asarray(pred[0]), win=f"x{ratio}_output",
+                    opts=dict(title=f"x{ratio}_output", markersize=2))
             self._vis.scatter(
                 np.asarray(gt[0]), win=f"x{ratio}_gt",
                 opts=dict(title=f"x{ratio}_label", markersize=2))
-            self._vis.line(np.array([loss]), np.array([step]),
+            curve = loss if error is None else error
+            self._vis.line(np.array([curve]), np.array([step]),
                            update="append", win=f"x{ratio}_loss",
                            opts=dict(title=f"x{ratio}_loss"))
         except Exception as e:  # dashboard must never kill training
@@ -90,12 +103,22 @@ def collect_intermediates(net, params, patches, ratio: int
     return result
 
 
-def vis_phase(flags, net, params, result_dir: str) -> None:
+def vis_phase(flags, net, params, result_dir: str,
+              show: Optional[bool] = None) -> None:
     """The CLI ``vis`` phase (``main.py:288-330``): upsample patches of
     each test shape, collect per-layer kNN graphs, open the interactive
-    picker per captured layer."""
+    picker per captured layer.
+
+    ``show=None`` auto-detects: headless environments (no ``DISPLAY``)
+    render with the Agg backend and return instead of blocking on
+    ``plt.show`` per layer."""
+    import os
+
     import jax.numpy as jnp
     from glob import glob
+
+    if show is None:
+        show = bool(os.environ.get("DISPLAY"))
 
     from threepu.io import load
     from threepu.ops import knn_group, gather_nd
@@ -124,7 +147,8 @@ def vis_phase(flags, net, params, result_dir: str) -> None:
                 continue
             painter = Painter("NN Feature")
             painter.nnIdx = arr[0]
-            painter.interactive_3D_plot(xyz_flat[:arr[0].shape[0]], name)
+            painter.interactive_3D_plot(xyz_flat[:arr[0].shape[0]], name,
+                                        show=show)
 
 
 class Painter:
