@@ -149,6 +149,30 @@ class TestGather:
         expected[0, :, 3] = 1.0
         np.testing.assert_array_equal(g, expected)
 
+    def test_onehot_matches_take(self, rng):
+        """The one-hot MXU gather (the TPU fast path of batched_gather)
+        must be bit-exact vs the native gather: each output row is a
+        single 1.0 * x product under HIGHEST precision."""
+        from threepu.ops.gather import batched_gather
+        pts = jnp.asarray(rng.standard_normal((3, 40, 12)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 40, (3, 17, 5)), jnp.int32)
+        take = batched_gather(pts, idx, method="take")
+        onehot = batched_gather(pts, idx, method="onehot")
+        np.testing.assert_array_equal(np.asarray(take), np.asarray(onehot))
+        # gradients: transposed matmul == scatter-add
+        f_take = lambda p: jnp.sum(
+            batched_gather(p, idx, method="take") ** 2)
+        f_oh = lambda p: jnp.sum(
+            batched_gather(p, idx, method="onehot") ** 2)
+        g_take = np.asarray(jax.grad(f_take)(pts))
+        g_oh = np.asarray(jax.grad(f_oh)(pts))
+        np.testing.assert_allclose(g_take, g_oh, rtol=1e-6, atol=1e-6)
+        # bf16 points: single-term sums stay exact
+        pts16 = pts.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(batched_gather(pts16, idx, method="take")),
+            np.asarray(batched_gather(pts16, idx, method="onehot")))
+
     def test_gradcheck(self, rng):
         """Finite-difference check mirroring the reference gradcheck
         (network/operations.py:354-359)."""
@@ -305,3 +329,64 @@ class TestHierarchicalFps:
         assert idx.shape == (1, 100)
         assert len(np.unique(idx[0])) == 100
         assert idx.min() >= 0 and idx.max() < 1000
+
+    def test_masked_picks_stay_valid(self, rng):
+        """Invalid (padded) points must never be selected — including
+        when Morton sorting concentrates them into all-invalid groups
+        (the validity-stable reorder before truncation)."""
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        import threepu.ops.fps_pallas as fp
+        from threepu.ops.fps import fps_hierarchical
+        pts = rng.standard_normal((1, 1024, 3)).astype(np.float32)
+        pts[:, 600:] = 50.0  # "padding" far away, all identical
+        mask = jnp.asarray(np.arange(1024)[None, :] < 600)
+        orig = pl.pallas_call
+        with mock.patch.object(fp.pl, "pallas_call",
+                               lambda *a, **k: orig(*a, interpret=True, **k)):
+            # morton + balanced placement guarantees every group holds
+            # ~n_valid/G valid points, so all m picks are valid
+            idx = np.asarray(fps_hierarchical(
+                jnp.asarray(pts), 120, valid_mask=mask,
+                group_max=256, sort="morton"))
+            assert idx.shape == (1, 120)
+            assert idx.max() < 600
+            assert len(np.unique(idx[0])) == 120
+            # "none" keeps input order: here all 424 invalid points sit
+            # in the last ~1.7 groups, so only 3 * m_per = 90 valid
+            # picks exist; the validity-stable reorder must put them
+            # first (invalid leakage only after the valid supply is
+            # exhausted — the documented limit of unsorted grouping)
+            idx = np.asarray(fps_hierarchical(
+                jnp.asarray(pts), 120, valid_mask=mask,
+                group_max=256, sort="none"))
+            assert idx[0, :90].max() < 600
+            assert len(np.unique(idx[0, :90])) == 90
+
+    def test_morton_improves_coverage(self, rng):
+        """Z-order grouping must beat unsorted grouping on the FPS
+        minimax objective (coverage radius) on a clustered cloud."""
+        import unittest.mock as mock
+        from jax.experimental import pallas as pl
+        import threepu.ops.fps_pallas as fp
+        from threepu.ops.fps import fps_hierarchical
+        centers = rng.standard_normal((64, 3)).astype(np.float32)
+        cloud = (centers[:, None, :]
+                 + rng.standard_normal((64, 16, 3)).astype(np.float32)
+                 * 0.05).reshape(1, 1024, 3)
+        rng.shuffle(cloud[0])
+        orig = pl.pallas_call
+
+        def coverage(idx):
+            sel = cloud[0][idx[0]]
+            d = np.min(np.sum(
+                (cloud[0][:, None] - sel[None]) ** 2, -1), axis=1)
+            return float(np.sqrt(d.max()))
+
+        with mock.patch.object(fp.pl, "pallas_call",
+                               lambda *a, **k: orig(*a, interpret=True, **k)):
+            cov_m = coverage(np.asarray(fps_hierarchical(
+                jnp.asarray(cloud), 128, group_max=256, sort="morton")))
+            cov_n = coverage(np.asarray(fps_hierarchical(
+                jnp.asarray(cloud), 128, group_max=256, sort="none")))
+        assert cov_m < cov_n

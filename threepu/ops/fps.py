@@ -113,9 +113,32 @@ def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
     return fps_indices(pts, npoint, valid_mask=valid_mask)
 
 
+def morton_codes(points: jax.Array, bits: int = 10) -> jax.Array:
+    """Z-order (Morton) keys: ``(B, N, 3)`` -> ``(B, N)`` int32.
+
+    Coordinates are min-max quantized per batch to a ``2^bits`` grid and
+    their bits interleaved, so sorting by the key orders points along a
+    space-filling curve — nearby keys are nearby in space."""
+    lo = jnp.min(points, axis=-2, keepdims=True)
+    hi = jnp.max(points, axis=-2, keepdims=True)
+    scale = (2**bits - 1) / jnp.maximum(hi - lo, 1e-12)
+    q = ((points - lo) * scale).astype(jnp.int32)      # (B, N, 3)
+
+    def spread(v):  # every bit of v to every 3rd position (bits<=10)
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(q[..., 0]) | (spread(q[..., 1]) << 1)
+            | (spread(q[..., 2]) << 2))
+
+
 def fps_hierarchical(points: jax.Array, m: int,
                      valid_mask: Optional[jax.Array] = None,
-                     group_max: int = PALLAS_MAX_N) -> jax.Array:
+                     group_max: int = PALLAS_MAX_N,
+                     sort: str = "morton") -> jax.Array:
     """FPS for clouds too large for the VMEM-resident kernel.
 
     Splits the cloud into G contiguous groups, runs the Pallas kernel
@@ -125,6 +148,15 @@ def fps_hierarchical(points: jax.Array, m: int,
     min-distance coupling — a documented approximation used only above
     :data:`PALLAS_MAX_N` points (e.g. the 2.4M-point merge of a 50k-pt
     shape at 16x), where exact sequential FPS is intractable anyway.
+
+    ``sort="morton"`` (default) Z-order-sorts the cloud first so the
+    contiguous groups are compact spatial regions and the per-group FPS
+    is *locally* exact — stratified sampling instead of G overlapping
+    redundant samples.  Measured on a 400k clustered cloud at m=100k
+    (benchmarks/fps_quality.py): coverage radius within ~3% of exact
+    FPS vs +29%..+147% for unsorted grouping.  ``sort="none"`` keeps
+    the input order (invalid points, if any, sort to the end either
+    way: their key is forced to INT32_MAX).
     """
     from threepu.ops.fps_pallas import fps_pallas
 
@@ -140,6 +172,38 @@ def fps_hierarchical(points: jax.Array, m: int,
         mask = mask & jnp.pad(valid_mask, ((0, 0), (0, n_pad - n)))
     mask = jnp.broadcast_to(mask, (b, n_pad))
 
+    if sort == "morton":
+        key = jnp.where(mask, morton_codes(pts), jnp.int32(2**31 - 1))
+        order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # (B, n_pad)
+        mask_s = jnp.take_along_axis(mask, order, axis=-1)
+        # Balanced placement: the sort put all valid points in one
+        # contiguous curve-ordered run; splitting THAT at fixed group
+        # boundaries would starve the tail groups of valid points
+        # whenever the cloud is heavily padded (bucketed merges).
+        # Instead spread the valid run so every group gets
+        # ceil(n_valid/G) contiguous-curve valid points, and let the
+        # invalid tail fill the remaining slots in ascending order.
+        i = jnp.arange(n_pad)[None, :]
+        n_valid = jnp.sum(mask_s, axis=-1, keepdims=True)    # (B, 1)
+        vpg = jnp.maximum(-(-n_valid // groups), 1)
+        g = jnp.minimum(i // vpg, groups - 1)
+        p_valid = g * per + (i - g * vpg)
+        bidx = jnp.arange(b)[:, None]
+        occupied = jnp.zeros((b, n_pad), jnp.int32).at[
+            bidx, jnp.where(mask_s, p_valid, 0)
+        ].max(mask_s.astype(jnp.int32))
+        free = jnp.argsort(occupied, axis=-1, stable=True)   # zeros first
+        s = jnp.clip(i - n_valid, 0, n_pad - 1)
+        dest = jnp.where(mask_s, p_valid,
+                         jnp.take_along_axis(free, s, axis=-1))
+        order = jnp.zeros((b, n_pad), jnp.int32).at[
+            bidx, dest].set(order)
+        pts = jnp.take_along_axis(pts, order[..., None], axis=-2)
+        mask = jnp.take_along_axis(
+            jnp.broadcast_to(mask, (b, n_pad)), order, axis=-1)
+    elif sort != "none":
+        raise ValueError(f"unknown sort {sort!r}")
+
     grouped = pts.reshape(b * groups, per, c)
     gmask = mask.reshape(b * groups, per)
     idx = fps_pallas(grouped, m_per, valid_mask=gmask)   # (b*G, m_per)
@@ -150,4 +214,14 @@ def fps_hierarchical(points: jax.Array, m: int,
     # dropped picks are the *last* pick of each group (each group loses
     # at most one) instead of the whole tail of the last group.
     idx = jnp.swapaxes(idx, 1, 2).reshape(b, groups * m_per)
-    return idx[:, :m]
+    # A group that holds only padded/invalid points (possible under
+    # "morton", which sorts invalid keys to the end) emits picks at
+    # invalid positions; push those behind every valid pick (stable, so
+    # the interleaved importance order of valid picks is preserved)
+    # before truncating.
+    picked_valid = jnp.take_along_axis(mask, idx, axis=-1)
+    keep = jnp.argsort(~picked_valid, axis=-1, stable=True)
+    idx = jnp.take_along_axis(idx, keep, axis=-1)[:, :m]
+    if sort == "morton":
+        idx = jnp.take_along_axis(order, idx, axis=-1)  # back to input ids
+    return idx

@@ -53,7 +53,27 @@ def gather_nd(points: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(points, idx[..., None], axis=-2)
 
 
-def batched_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
+#: one-hot dispatch bounds: the (batch, X, M) one-hot operand must stay
+#: small enough to be a cheap HBM transient, and M small enough that
+#: building it is trivial.  Patch-scale gathers (M <= ~2k) qualify;
+#: merged-cloud gathers (M >= 15k) stay on the native gather path.
+_ONEHOT_MAX_M = 2048
+_ONEHOT_MAX_BYTES = 192 * 1024 * 1024
+
+
+def _onehot_qualifies(points, idx) -> bool:
+    if points.dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    m = points.shape[-2]
+    if m > _ONEHOT_MAX_M:
+        return False
+    import numpy as _np
+    x = int(_np.prod(idx.shape, dtype=_np.int64))
+    return x * m * 4 <= _ONEHOT_MAX_BYTES
+
+
+def batched_gather(points: jax.Array, idx: jax.Array,
+                   method: str = "auto") -> jax.Array:
     """Row gather with arbitrary trailing index shape and NO broadcast
     blow-up: ``points (..., M, C)``, ``idx (..., X1, ..., Xk)`` ints in
     [0, M) -> ``(..., X1, ..., Xk, C)``.
@@ -62,9 +82,30 @@ def batched_gather(points: jax.Array, idx: jax.Array) -> jax.Array:
     axis=-2)`` pattern materializes a ``(..., X, M, C)`` broadcast under
     XLA (a 60GB allocation at cascade level 4); flattening the index
     axes first keeps it a true gather.
+
+    ``method``:
+      - ``"take"``: native XLA gather (transpose = scatter-add).
+      - ``"onehot"``: gather as a one-hot HIGHEST-precision matmul —
+        ``out = onehot(idx) @ points`` rides the MXU and its transpose
+        is a *matmul*, not a scatter.  Bit-exact (each output row is a
+        single product with 1.0).  On TPU the native row gather lowers
+        to per-row dynamic slices (~2.5 GB/s measured); the one-hot form
+        measured 2.1x faster on the full b16 x16 train step.
+      - ``"auto"``: one-hot on TPU at patch scale (see bounds above),
+        native gather otherwise.
     """
+    if method == "auto":
+        method = ("onehot" if jax.default_backend() == "tpu"
+                  and _onehot_qualifies(points, idx) else "take")
     batch_shape = points.shape[:-2]
     extra = idx.shape[len(batch_shape):]
     flat = idx.reshape(batch_shape + (-1,))
-    out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+    if method == "onehot":
+        m = points.shape[-2]
+        oh = (flat[..., None] == jnp.arange(m)).astype(points.dtype)
+        out = jnp.matmul(oh, points,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=points.dtype)
+    else:
+        out = jnp.take_along_axis(points, flat[..., None], axis=-2)
     return out.reshape(batch_shape + extra + (points.shape[-1],))
