@@ -122,15 +122,40 @@ _SELECT_M_CHUNK = 2048
 
 def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
                         q_tile: int):
-    """Selection-only variant: top-K sweeps emitting (distance, index)
-    rows, no feature traffic.  VMEM holds just the coordinate planes
-    (3 * Mp * 4 bytes) and fixed (q_tile, chunk) transients — the M axis
-    is streamed in :data:`_SELECT_M_CHUNK` column chunks (plane refs are
-    laid out (n_chunks, chunk) so the loop indexes the sublane axis)
-    with a running (min, argmin) carry — so M scales far beyond what the
-    fused kernel's resident (Mp, Cp) feature block allows."""
+    """Selection-only variant: top-K selection emitting (distance,
+    index) rows, no feature traffic.  VMEM holds just the coordinate
+    planes (3 * Mp * 4 bytes) and fixed (q_tile, chunk) transients — the
+    M axis is streamed in :data:`_SELECT_M_CHUNK` column chunks (plane
+    refs are laid out (n_chunks, chunk) so the loop indexes the sublane
+    axis) — so M scales far beyond what the fused kernel's resident
+    (Mp, Cp) feature block allows.
+
+    Each chunk's distances are computed ONCE; k lexicographic-min
+    sweeps extract the chunk's sorted top-k, which is merged with the
+    running sorted top-k carry via the same sweeps on the 2k-wide
+    candidate pool (cost ~k*2k per row — negligible next to the chunk
+    sweeps).  Selection order is (distance, index) ascending, identical
+    to jax.lax.top_k on the negated matrix."""
     n_tiles = n // q_tile
     assert n_tiles * q_tile == n
+
+    def topk_sweeps(d, jj, width_k):
+        """Sorted top-``width_k`` of (q_tile, W) candidates by
+        lexicographic (d, jj) ascending; returns two (q_tile, width_k)
+        lists of column vectors."""
+        d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
+        i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
+        d_sel, i_sel = [], []
+        for _ in range(width_k):
+            later = (d > d_prev) | ((d == d_prev) & (jj > i_prev))
+            cand = jnp.where(later, d, _BIG)
+            d_c = jnp.min(cand, axis=1, keepdims=True)
+            i_c = jnp.min(jnp.where(cand == d_c, jj, _BIG_I),
+                          axis=1, keepdims=True)
+            d_sel.append(d_c)
+            i_sel.append(i_c)
+            d_prev, i_prev = d_c, i_c
+        return d_sel, i_sel
 
     def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
                d_ref, i_ref):
@@ -141,42 +166,31 @@ def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
             qx = qx_ref[0, 0, sl]            # (q_tile, 1)
             qy = qy_ref[0, 0, sl]
             qz = qz_ref[0, 0, sl]
-            d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
-            i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
-            d_sel, i_sel = [], []
-            for _ in range(k):
-                def chunk_body(c, carry):
-                    best_d, best_i = carry
-                    px_c = px_ref[0, pl.ds(c, 1), :]      # (1, chunk)
-                    py_c = py_ref[0, pl.ds(c, 1), :]
-                    pz_c = pz_ref[0, pl.ds(c, 1), :]
-                    dx = qx - px_c
-                    dy = qy - py_c
-                    dz = qz - pz_c
-                    d = dx * dx + dy * dy + dz * dz
-                    jj = j_iota + c * chunk
-                    later = (d > d_prev) | ((d == d_prev) & (jj > i_prev))
-                    cand = jnp.where(later, d, _BIG)
-                    d_c = jnp.min(cand, axis=1, keepdims=True)
-                    i_c = jnp.min(jnp.where(cand == d_c, jj, _BIG_I),
-                                  axis=1, keepdims=True)
-                    take = (d_c < best_d) | ((d_c == best_d)
-                                             & (i_c < best_i))
-                    return (jnp.where(take, d_c, best_d),
-                            jnp.where(take, i_c, best_i))
 
-                d_k, i_k = jax.lax.fori_loop(
-                    0, n_chunks, chunk_body,
-                    (jnp.full((q_tile, 1), _BIG, jnp.float32),
-                     jnp.full((q_tile, 1), _BIG_I, jnp.int32)))
-                d_sel.append(d_k)
-                i_sel.append(i_k)
-                d_prev, i_prev = d_k, i_k
+            def chunk_body(c, carry):
+                best_d, best_i = carry       # (q_tile, k) sorted asc
+                px_c = px_ref[0, pl.ds(c, 1), :]      # (1, chunk)
+                py_c = py_ref[0, pl.ds(c, 1), :]
+                pz_c = pz_ref[0, pl.ds(c, 1), :]
+                dx = qx - px_c
+                dy = qy - py_c
+                dz = qz - pz_c
+                d = dx * dx + dy * dy + dz * dz      # computed ONCE
+                jj = j_iota + c * chunk
+                d_t, i_t = topk_sweeps(d, jj, k)     # chunk top-k
+                pool_d = jnp.concatenate([best_d] + d_t, axis=1)
+                pool_i = jnp.concatenate([best_i] + i_t, axis=1)
+                d_m, i_m = topk_sweeps(pool_d, pool_i, k)
+                return (jnp.concatenate(d_m, axis=1),
+                        jnp.concatenate(i_m, axis=1))
+
+            d_k, i_k = jax.lax.fori_loop(
+                0, n_chunks, chunk_body,
+                (jnp.full((q_tile, k), _BIG, jnp.float32),
+                 jnp.full((q_tile, k), _BIG_I, jnp.int32)))
             k_pad = d_ref.shape[-1]
-            pad_d = [jnp.zeros((q_tile, 1), jnp.float32)] * (k_pad - k)
-            pad_i = [jnp.zeros((q_tile, 1), jnp.int32)] * (k_pad - k)
-            d_ref[0, 0, sl, :] = jnp.concatenate(d_sel + pad_d, axis=1)
-            i_ref[0, 0, sl, :] = jnp.concatenate(i_sel + pad_i, axis=1)
+            d_ref[0, 0, sl, :] = jnp.pad(d_k, ((0, 0), (0, k_pad - k)))
+            i_ref[0, 0, sl, :] = jnp.pad(i_k, ((0, 0), (0, k_pad - k)))
 
     return kernel
 
@@ -301,13 +315,16 @@ def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
     if _fused_vmem_bytes(m_pad, c_pad, n) > _FUSED_VMEM_BUDGET:
         d, idx = interlevel_select_pallas(q_xyz, prev_xyz, prev_dup, k)
         return _interp_from_selection(d, idx, xq, prev_feat, k)
-    if m <= _BIG_M or p * group <= _MAX_PROGRAMS_BIG_M:
+    if p * group <= _MAX_PROGRAMS_BIG_M:
         return _interlevel_call(q_xyz, xq, prev_xyz, prev_feat,
                                 prev_dup, k)
     # Split BOTH grid axes into segments whose product stays <= MAX
     # programs: group (sub-patch) first — with whole-shape patches
     # (e.g. n_sub=160 at num_point=5000) it alone exceeds the limit —
-    # then the top-patch axis.
+    # then the top-patch axis.  Unconditional (not just big-M): the
+    # axon remote compile helper also crashes on >40-program grids at
+    # small M when the surrounding program is large (observed with
+    # cascade chunk=16), and segmenting costs nothing measurable.
     g_seg = min(group, _MAX_PROGRAMS_BIG_M)
     p_seg = max(1, _MAX_PROGRAMS_BIG_M // g_seg)
     q4 = q_xyz.reshape(p, group, n, 3)
