@@ -164,11 +164,21 @@ def run_test(flags, result_dir: str) -> None:
     if not files:
         logger.warn(f"no files match {flags.test_data}")
         return
+    # overlap host IO with device compute: file i+1 parses (and the
+    # previous PLYs write) on worker threads while the device upsamples
+    # file i — the TPU never waits on the filesystem
+    from concurrent.futures import ThreadPoolExecutor
+    io_pool = ThreadPoolExecutor(max_workers=2)
+    pending_writes = []
+    next_data = io_pool.submit(load, files[0], flags.num_shape_point)
     for i, path in enumerate(files):
         folder = os.path.basename(os.path.dirname(path))
         out_path = os.path.join(result_dir, folder,
                                 os.path.basename(path)[:-4] + ".ply")
-        data = load(path, flags.num_shape_point)
+        data = next_data.result()
+        if i + 1 < len(files):
+            next_data = io_pool.submit(load, files[i + 1],
+                                       flags.num_shape_point)
         logger.info(os.path.basename(path))
         if flags.profile_dir and i == 0:
             import jax
@@ -192,9 +202,16 @@ def run_test(flags, result_dir: str) -> None:
                 bucket=flags.bucket)
         logger.info(f"total time: {time.time() - start:.3f}s "
                     f"({up.shape[0]} points)")
-        save_ply(inp, out_path[:-4] + "_input.ply")
-        save_ply(up, out_path)
+        for w in [w for w in pending_writes if w.done()]:
+            w.result()  # surface write errors
+        pending_writes = [w for w in pending_writes if not w.done()]
+        pending_writes.append(
+            io_pool.submit(save_ply, inp, out_path[:-4] + "_input.ply"))
+        pending_writes.append(io_pool.submit(save_ply, up, out_path))
         logger.success(out_path)
+    for w in pending_writes:
+        w.result()
+    io_pool.shutdown()
 
 
 def run_train(flags) -> None:

@@ -15,10 +15,20 @@ from threepu.io.ply import read_ply, save_ply
 from threepu.utils.pc_utils import downsample_points
 
 
+def _load_text(filename: str) -> np.ndarray:
+    """Text (.xyz etc.) loader: the native C++ float parser when the
+    toolchain can build it (~20x np.loadtxt), numpy otherwise."""
+    try:
+        from threepu.native import parse_xyz
+        return parse_xyz(filename)
+    except Exception:
+        return np.loadtxt(filename).astype(np.float32)
+
+
 def load(filename: str, count: Optional[int] = None) -> np.ndarray:
     if filename.endswith(".ply"):
         return read_ply(filename, count)[:, :3].astype(np.float32)
-    points = np.loadtxt(filename).astype(np.float32)
+    points = _load_text(filename)
     if points.ndim == 1:
         points = points[None, :]
     if count is not None:
