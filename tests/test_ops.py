@@ -173,6 +173,24 @@ class TestGather:
             np.asarray(batched_gather(pts16, idx, method="take")),
             np.asarray(batched_gather(pts16, idx, method="onehot")))
 
+    def test_onehot_segmented(self, rng, monkeypatch):
+        """The one-hot operand is split along the index axis past the
+        byte bound (the train-batch-32 cliff fix); segmented results
+        must stay bit-equal to unsegmented, including non-divisible
+        segment boundaries."""
+        import threepu.ops.gather as gm
+        pts = jnp.asarray(rng.standard_normal((2, 40, 6)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 40, (2, 13, 3)), jnp.int32)
+        whole = gm.batched_gather(pts, idx, method="onehot")
+        # bound small enough to force multiple ragged segments:
+        # batch*m*4 = 320 bytes -> seg = 3 of X=39 -> 13 segments
+        monkeypatch.setattr(gm, "_ONEHOT_MAX_BYTES", 1000)
+        seg = gm.batched_gather(pts, idx, method="onehot")
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(seg))
+        np.testing.assert_array_equal(
+            np.asarray(gm.batched_gather(pts, idx, method="take")),
+            np.asarray(seg))
+
     def test_gradcheck(self, rng):
         """Finite-difference check mirroring the reference gradcheck
         (network/operations.py:354-359)."""
