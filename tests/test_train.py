@@ -188,3 +188,31 @@ class TestTrainLoop:
         cfg.ckpt = path
         state2, _ = train_loop(cfg, max_steps=5)
         assert int(state2.step) == 5
+
+    def test_exact_resume_matches_uninterrupted(self, h5_file, tmp_path):
+        """Full-state resume (params + Adam moments + step-keyed RNG)
+        must continue bit-for-bit: interrupt-at-3-resume-to-6 equals an
+        uninterrupted 6-step run.  (The reference persists only
+        {params, step}; its resumes silently reset the moments.)"""
+        import dataclasses
+        from threepu.io import save_train_checkpoint
+        cfg = TrainConfig(
+            h5_data=h5_file, num_shape_point=32, num_point=12,
+            batch_size=2, up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+            dense_n=2, max_num_point=12, stage_steps=4, max_epoch=100,
+            model_dir=str(tmp_path), lr_init=1e-3)
+        straight, _ = train_loop(cfg, max_steps=6)
+
+        half, _ = train_loop(dataclasses.replace(cfg), max_steps=3)
+        path = str(tmp_path / "full.npz")
+        save_train_checkpoint(
+            path, {"params": jax.device_get(half.params)},
+            jax.device_get(half.opt_state), step=int(half.step))
+        resumed, _ = train_loop(
+            dataclasses.replace(cfg, ckpt=path), max_steps=6)
+
+        assert int(resumed.step) == 6
+        a = jax.tree_util.tree_leaves(straight.params)
+        b = jax.tree_util.tree_leaves(resumed.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

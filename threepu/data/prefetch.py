@@ -35,7 +35,9 @@ class Prefetcher:
         self._queue: deque = deque()
 
     def _issue(self) -> None:
-        self._key, sub = jax.random.split(self._key)
+        # key is a pure function of the step (not a split chain), so a
+        # resumed run issues bit-identical batches from start_step on
+        sub = jax.random.fold_in(self._key, self._step)
         ratio = int(self.ratio_fn(self._step))
         batch = self.sample_fn(sub, self._step, ratio)
         self._queue.append((batch, ratio, self._step))

@@ -79,6 +79,56 @@ def load_checkpoint(path: str, target_params: Optional[Any] = None
     return {"params": _unflatten(flat)}, step
 
 
+OPT_PREFIX = "opt/"
+
+
+def save_train_checkpoint(path: str, params: Any, opt_state: Any,
+                          step: int = 0) -> None:
+    """Full-state checkpoint: params + optimizer state + step.
+
+    The reference only persists ``{params, step}`` (Adam moments are
+    lost on restart, ``pytorch_utils.py:7-15``); production training
+    needs exact resume.  ``opt_state`` (any optax state pytree) is
+    stored as ordered ``opt/<i>`` leaf arrays — restoring requires the
+    same optimizer configuration, which re-derives the tree structure.
+    """
+    import jax
+
+    arrays = _flatten({"params": params.get("params", params)})
+    arrays["step"] = np.asarray(step, np.int64)
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+        arrays[f"{OPT_PREFIX}{i:05d}"] = np.asarray(leaf)
+    dirname = os.path.dirname(path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    np.savez(path, **arrays)
+
+
+def load_opt_state(path: str, target_opt_state: Any) -> Optional[Any]:
+    """Restore the optimizer state stored by
+    :func:`save_train_checkpoint`; ``target_opt_state`` (a freshly
+    initialized state of the SAME optimizer) supplies the tree
+    structure and leaf dtypes.  Returns ``None`` when the checkpoint
+    has no optimizer state or its leaves don't line up (params-only
+    checkpoints restore as before — the caller keeps the fresh state).
+    """
+    import jax
+
+    with np.load(path) as data:
+        keys = sorted(k for k in data.files if k.startswith(OPT_PREFIX))
+        leaves = [data[k] for k in keys]
+    treedef = jax.tree_util.tree_structure(target_opt_state)
+    target_leaves = jax.tree_util.tree_leaves(target_opt_state)
+    if len(leaves) != len(target_leaves):
+        return None
+    for got, want in zip(leaves, target_leaves):
+        if np.shape(got) != np.shape(want):
+            return None
+    leaves = [np.asarray(g, dtype=np.asarray(w).dtype)
+              for g, w in zip(leaves, target_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 # ----------------------------------------------------------------- .pth
 def _torch_key_to_flax(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
     """Map a reference state-dict key to (flax path, 'kernel'|'bias').

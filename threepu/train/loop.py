@@ -90,7 +90,9 @@ def save_epoch_checkpoint(cfg: TrainConfig, state, step: int,
         return save_pth(cfg.model_dir, {"params": params_host},
                         step=step, label="model", epoch=epoch)
     path = os.path.join(cfg.model_dir, f"model_{epoch}.npz")
-    save_checkpoint(path, {"params": params_host}, step=step)
+    from threepu.io import save_train_checkpoint
+    save_train_checkpoint(path, {"params": params_host},
+                          jax.device_get(state.opt_state), step=step)
     return path
 
 
@@ -121,7 +123,15 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
     if cfg.ckpt:
         loader = import_pth if cfg.ckpt.endswith(".pth") else load_checkpoint
         restored, step = loader(cfg.ckpt, {"params": state.params})
+        opt_state = state.opt_state
+        if not cfg.ckpt.endswith(".pth"):
+            from threepu.io import load_opt_state
+            stored = load_opt_state(cfg.ckpt, state.opt_state)
+            if stored is not None:
+                opt_state = stored
+                logger.info("restored optimizer state (exact resume)")
         state = state._replace(params=restored["params"],
+                               opt_state=opt_state,
                                step=jax.numpy.asarray(step, "int32"))
         logger.info(f"restored {cfg.ckpt} at step {step}")
 
@@ -155,7 +165,10 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             (inp, gt), ratio, _ = next(prefetch)
             st = curriculum_state(step, cfg.stage_steps, cfg.up_ratio,
                                   cfg.step_ratio, cfg.cd_threshold)
-            key, k_step = jax.random.split(key)
+            # pure function of the step (not a split chain): together
+            # with the step-keyed Prefetcher and the full-state
+            # checkpoint this makes resume bit-exact
+            k_step = jax.random.fold_in(key, step)
             # log steps run the with_pred program variant so the monitor
             # can plot the actual prediction (main.py:184-195)
             log_now = (log_fn is not None
