@@ -33,11 +33,31 @@ class TestDuplicateMask:
         expected[[5, 11, 17]] = True
         np.testing.assert_array_equal(mask, expected)
 
-    def test_batched_and_chunked(self, rng):
+    def test_batched(self, rng):
         pts = rng.standard_normal((3, 300, 4)).astype(np.float32)
         pts[1, 250] = pts[1, 3]
-        mask = np.asarray(ops.duplicate_mask(jnp.asarray(pts), chunk=128))
+        mask = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
         assert mask[1, 250] and mask.sum() == 1
+
+    def test_matches_quadratic_oracle(self, rng):
+        """The sort-based implementation must agree with the direct
+        O(N^2) definition, including multi-duplicate runs, -0.0 == +0.0,
+        and near-misses differing only in the last column."""
+        pts = rng.standard_normal((2, 64, 3)).astype(np.float32)
+        pts[0, 10] = pts[0, 4]
+        pts[0, 20] = pts[0, 4]         # triple run
+        pts[0, 30] = pts[0, 4]
+        pts[1, 5] = [0.5, 0.25, 1.0]
+        pts[1, 40] = [0.5, 0.25, 1.0]  # duplicate
+        pts[1, 41] = [0.5, 0.25, 1.5]  # same x,y, different z
+        pts[1, 7] = [0.0, 1.0, 2.0]
+        pts[1, 8] = [-0.0, 1.0, 2.0]   # IEEE-equal row
+        got = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
+        for b in range(2):
+            eq = np.all(pts[b][:, None] == pts[b][None, :], axis=-1)
+            earlier = np.arange(64)[None, :] < np.arange(64)[:, None]
+            expected = np.any(eq & earlier, axis=-1)
+            np.testing.assert_array_equal(got[b], expected)
 
 
 class TestKnn:

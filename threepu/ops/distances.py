@@ -54,7 +54,7 @@ def direct_dist2(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
-def duplicate_mask(points: jax.Array, *, chunk: int = 256) -> jax.Array:
+def duplicate_mask(points: jax.Array) -> jax.Array:
     """Mark rows that exactly duplicate an earlier row.
 
     On-device replacement for the reference's host ``np.unique`` round trip
@@ -62,40 +62,39 @@ def duplicate_mask(points: jax.Array, *, chunk: int = 256) -> jax.Array:
     ``return_index=True`` numpy keeps the *first* occurrence of each
     distinct row, so every row equal to some earlier row is a duplicate.
 
+    O(N log N): three stable argsort passes (z, then y, then x — stable
+    sorting yields exact lexicographic (x, y, z, original-index) order,
+    so equal rows are adjacent with the smallest original index first),
+    one adjacent exact-equality compare, scatter back.  Replaces the
+    old O(N^2 C) comparison matrix, which cost ~38 ms at the level-4
+    eval merge (N≈6k) via a sequential chunked map.
+
     Args:
-      points: ``(..., N, C)``.
-      chunk: row-chunk size bounding the ``chunk x N x C`` comparison
-        buffer.
+      points: ``(..., N, C)``; any C (keys are built per trailing
+        column, sorted last-column-first).
 
     Returns:
       boolean ``(..., N)``; True where the row duplicates an earlier row.
     """
     *batch, n, c = points.shape
-    col_idx = jnp.arange(n)
-    if n * n * c <= 64 * 1024 * 1024:
-        # direct broadcast path: (..., N, N, C) comparison buffer
-        eq = jnp.all(points[..., :, None, :] == points[..., None, :, :],
-                     axis=-1)
-        earlier = col_idx[None, :] < col_idx[:, None]
-        return jnp.any(eq & earlier, axis=-1)
+    flat = points.reshape((-1, n, c)).astype(jnp.float32)
+    b = flat.shape[0]
 
-    flat = points.reshape((-1, n, c))
-    pad = (-n) % chunk
-    n_pad = n + pad
-
-    def one_batch(pts):
-        padded = jnp.pad(pts, ((0, pad), (0, 0)))
-
-        def one_chunk(start_row):
-            rows = jax.lax.dynamic_slice(padded, (start_row, 0), (chunk, c))
-            row_idx = start_row + jnp.arange(chunk)
-            eq = jnp.all(rows[:, None, :] == pts[None, :, :], axis=-1)
-            earlier = col_idx[None, :] < row_idx[:, None]
-            return jnp.any(eq & earlier, axis=-1)
-
-        starts = jnp.arange(n_pad // chunk) * chunk
-        out = jax.lax.map(one_chunk, starts)          # (n_chunks, chunk)
-        return out.reshape(-1)[:n]
-
-    mask = jax.lax.map(one_batch, flat)
+    order = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    rows = flat
+    # stable sorts from the least-significant column up; ties keep
+    # input (= original index) order, giving the np.unique tie-break.
+    # Sorting the float values directly is a valid total order here
+    # (point data has no NaNs; -0.0 compares equal to +0.0, so IEEE
+    # duplicates still land adjacent).
+    for col in range(c - 1, -1, -1):
+        perm = jnp.argsort(rows[..., col], axis=-1, stable=True)
+        order = jnp.take_along_axis(order, perm, axis=-1)
+        rows = jnp.take_along_axis(rows, perm[..., None], axis=-2)
+    # adjacent exact equality on the float values themselves
+    eq_prev = jnp.all(rows[:, 1:] == rows[:, :-1], axis=-1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), eq_prev], axis=1)
+    bidx = jnp.arange(b)[:, None]
+    mask = jnp.zeros((b, n), bool).at[bidx, order].set(dup_sorted)
     return mask.reshape(*batch, n)
