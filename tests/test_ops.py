@@ -52,12 +52,17 @@ class TestDuplicateMask:
         pts[1, 41] = [0.5, 0.25, 1.5]  # same x,y, different z
         pts[1, 7] = [0.0, 1.0, 2.0]
         pts[1, 8] = [-0.0, 1.0, 2.0]   # IEEE-equal row
-        got = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
+        import threepu.ops.distances as dmod
+        import unittest.mock as mock
+        direct = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
+        with mock.patch.object(dmod, "_DIRECT_MAX_N", 0):
+            sorted_ = np.asarray(ops.duplicate_mask(jnp.asarray(pts)))
         for b in range(2):
             eq = np.all(pts[b][:, None] == pts[b][None, :], axis=-1)
             earlier = np.arange(64)[None, :] < np.arange(64)[:, None]
             expected = np.any(eq & earlier, axis=-1)
-            np.testing.assert_array_equal(got[b], expected)
+            np.testing.assert_array_equal(direct[b], expected)
+            np.testing.assert_array_equal(sorted_[b], expected)
 
 
 class TestKnn:

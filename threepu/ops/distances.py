@@ -54,6 +54,12 @@ def direct_dist2(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(diff * diff, axis=-1)
 
 
+#: direct-comparison cutoff: sorts are pathological for the axon
+#: remote compiler (~+240 s per sorted instance measured), and the
+#: fused O(N^2 C) compare stays a few ms up to ~8k points
+_DIRECT_MAX_N = 8192
+
+
 def duplicate_mask(points: jax.Array) -> jax.Array:
     """Mark rows that exactly duplicate an earlier row.
 
@@ -62,12 +68,19 @@ def duplicate_mask(points: jax.Array) -> jax.Array:
     ``return_index=True`` numpy keeps the *first* occurrence of each
     distinct row, so every row equal to some earlier row is a duplicate.
 
-    O(N log N): three stable argsort passes (z, then y, then x — stable
-    sorting yields exact lexicographic (x, y, z, original-index) order,
-    so equal rows are adjacent with the smallest original index first),
-    one adjacent exact-equality compare, scatter back.  Replaces the
-    old O(N^2 C) comparison matrix, which cost ~38 ms at the level-4
-    eval merge (N≈6k) via a sequential chunked map.
+    Two paths:
+
+    - ``N <= _DIRECT_MAX_N`` (8192): one fused (N, N, C) comparison — tiny HLO, fast
+      compile, a few ms at these sizes.
+    - large ``N``: three stable argsort passes (z, then y, then x —
+      stable sorting yields exact lexicographic (x, y, z,
+      original-index) order, so equal rows are adjacent with the
+      smallest original index first), one adjacent exact-equality
+      compare, scatter back.  O(N log N) — replaces the old chunked
+      O(N^2 C) comparison map, which cost ~38 ms at the level-4 eval
+      merge (N≈12k) and took the eval headline from 34.4k to 51.2k
+      pts/sec.  Sorts are compile-heavy through the axon remote
+      compiler, hence the small-N cutoff.
 
     Args:
       points: ``(..., N, C)``; any C (keys are built per trailing
@@ -79,6 +92,12 @@ def duplicate_mask(points: jax.Array) -> jax.Array:
     *batch, n, c = points.shape
     flat = points.reshape((-1, n, c)).astype(jnp.float32)
     b = flat.shape[0]
+
+    if n <= _DIRECT_MAX_N:
+        col_idx = jnp.arange(n)
+        eq = jnp.all(flat[:, :, None, :] == flat[:, None, :, :], axis=-1)
+        earlier = col_idx[None, :] < col_idx[:, None]
+        return jnp.any(eq & earlier, axis=-1).reshape(*batch, n)
 
     order = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
     rows = flat

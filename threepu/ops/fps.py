@@ -104,10 +104,12 @@ PALLAS_MAX_N = 480_000
 def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
     n = pts.shape[-2]
     if use_pallas is None:
-        # the VMEM-resident kernel wins from ~1k points (selection is
-        # bit-identical either way — benchmarks/tpu_checks.py); below
-        # that the scan path compiles leaner
-        use_pallas = n >= 1024 and jax.default_backend() == "tpu"
+        # selection is bit-identical either way
+        # (benchmarks/tpu_checks.py); the kernel's runtime edge at
+        # mid sizes (~1-4k) is small while every extra pallas
+        # instance pays a slow axon remote kernel compile, so the
+        # kernel engages where it clearly wins
+        use_pallas = n >= 4096 and jax.default_backend() == "tpu"
     if use_pallas and n > PALLAS_MAX_N:
         return fps_hierarchical(pts, npoint, valid_mask=valid_mask)
     if use_pallas:
