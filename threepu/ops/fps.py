@@ -47,12 +47,17 @@ def fps_indices(points: jax.Array, m: int,
     """
     b, n, _ = points.shape
     points = points.astype(jnp.float32)
+    # derive the scan carry from `points` (zeros * points) instead of
+    # fresh constants: under shard_map the carry must share the data's
+    # varying manual axes or the scan rejects it (carry in/out mismatch)
+    base = points[..., 0] * 0.0                        # (B, N) "varying 0"
     if valid_mask is None:
-        seed = jnp.zeros((b,), jnp.int32)
-        temp0 = jnp.full((b, n), _INIT_DIST, jnp.float32)
+        seed = base[..., 0].astype(jnp.int32)
+        temp0 = base + _INIT_DIST
     else:
-        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32)
-        temp0 = jnp.where(valid_mask, _INIT_DIST, -jnp.inf)
+        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32) + \
+            base[..., 0].astype(jnp.int32)
+        temp0 = jnp.where(valid_mask, base + _INIT_DIST, base - jnp.inf)
 
     def step(carry, _):
         temp, last_idx = carry
