@@ -80,6 +80,21 @@ def load_checkpoint(path: str, target_params: Optional[Any] = None
 
 
 OPT_PREFIX = "opt/"
+OPT_TREE_KEY = "opt_treedef"
+
+
+def _opt_fingerprint(opt_state: Any) -> str:
+    """Structural fingerprint of an optax state: the treedef repr plus
+    per-leaf key paths.  Leaf shapes alone can collide across different
+    optimizer configurations (e.g. Adam with different betas has
+    identical state shapes); the treedef repr pins the state *types*
+    so a resumed run can't silently restore mismatched moments."""
+    import jax
+
+    treedef = jax.tree_util.tree_structure(opt_state)
+    paths = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_leaves_with_path(opt_state)]
+    return repr(treedef) + "|" + "|".join(paths)
 
 
 def save_train_checkpoint(path: str, params: Any, opt_state: Any,
@@ -89,8 +104,9 @@ def save_train_checkpoint(path: str, params: Any, opt_state: Any,
     The reference only persists ``{params, step}`` (Adam moments are
     lost on restart, ``pytorch_utils.py:7-15``); production training
     needs exact resume.  ``opt_state`` (any optax state pytree) is
-    stored as ordered ``opt/<i>`` leaf arrays — restoring requires the
-    same optimizer configuration, which re-derives the tree structure.
+    stored as ordered ``opt/<i>`` leaf arrays plus a structural
+    fingerprint, so restoring verifies the optimizer configuration
+    instead of trusting shape coincidence.
     """
     import jax
 
@@ -98,6 +114,7 @@ def save_train_checkpoint(path: str, params: Any, opt_state: Any,
     arrays["step"] = np.asarray(step, np.int64)
     for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
         arrays[f"{OPT_PREFIX}{i:05d}"] = np.asarray(leaf)
+    arrays[OPT_TREE_KEY] = np.asarray(_opt_fingerprint(opt_state))
     dirname = os.path.dirname(path)
     if dirname:
         os.makedirs(dirname, exist_ok=True)
@@ -109,20 +126,41 @@ def load_opt_state(path: str, target_opt_state: Any) -> Optional[Any]:
     :func:`save_train_checkpoint`; ``target_opt_state`` (a freshly
     initialized state of the SAME optimizer) supplies the tree
     structure and leaf dtypes.  Returns ``None`` when the checkpoint
-    has no optimizer state or its leaves don't line up (params-only
-    checkpoints restore as before — the caller keeps the fresh state).
+    has no optimizer state, its leaves don't line up, or its stored
+    structural fingerprint disagrees with the target's (a changed
+    optimizer config whose state happens to be shape-compatible must
+    NOT silently restore stale moments); mismatches warn loudly so an
+    'exact resume' that fell back to fresh state is visible.
     """
     import jax
+
+    from threepu.utils.logger import warn
 
     with np.load(path) as data:
         keys = sorted(k for k in data.files if k.startswith(OPT_PREFIX))
         leaves = [data[k] for k in keys]
+        stored_fp = (str(data[OPT_TREE_KEY]) if OPT_TREE_KEY in data
+                     else None)
+    if not leaves:
+        return None
     treedef = jax.tree_util.tree_structure(target_opt_state)
     target_leaves = jax.tree_util.tree_leaves(target_opt_state)
+    if stored_fp is not None and stored_fp != _opt_fingerprint(
+            target_opt_state):
+        warn(f"optimizer state in {path} was saved with a different "
+             "optimizer configuration; resuming with FRESH optimizer "
+             "state (params/step restore normally)")
+        return None
     if len(leaves) != len(target_leaves):
+        warn(f"optimizer state in {path} has {len(leaves)} leaves, "
+             f"expected {len(target_leaves)}; resuming with FRESH "
+             "optimizer state")
         return None
     for got, want in zip(leaves, target_leaves):
         if np.shape(got) != np.shape(want):
+            warn(f"optimizer leaf shape mismatch in {path} "
+                 f"({np.shape(got)} vs {np.shape(want)}); resuming "
+                 "with FRESH optimizer state")
             return None
     leaves = [np.asarray(g, dtype=np.asarray(w).dtype)
               for g, w in zip(leaves, target_leaves)]

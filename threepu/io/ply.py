@@ -221,8 +221,11 @@ def save_ply(points: np.ndarray, filename: str,
             col += 1
 
     dirname = os.path.dirname(filename)
-    if dirname and not os.path.exists(dirname):
-        os.makedirs(dirname)
+    if dirname:
+        # exist_ok: concurrent writers (the CLI saves the *_input.ply
+        # and output ply for one shape from a worker pool) may race on
+        # the first file of a new result directory
+        os.makedirs(dirname, exist_ok=True)
     with open(filename, "wb") as f:
         _write_header(f, [("vertex", n, props)])
         f.write(rec.tobytes())
@@ -257,8 +260,8 @@ def save_ply_with_face(points, faces, filename,
         fprops += [("red", "uint8"), ("green", "uint8"), ("blue", "uint8")]
 
     dirname = os.path.dirname(filename)
-    if dirname and not os.path.exists(dirname):
-        os.makedirs(dirname)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
     with open(filename, "wb") as f:
         _write_header(f, [("vertex", points.shape[0], vprops),
                           ("face", faces.shape[0], fprops)])

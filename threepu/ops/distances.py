@@ -58,6 +58,11 @@ def direct_dist2(a: jax.Array, b: jax.Array) -> jax.Array:
 #: remote compiler (~+240 s per sorted instance measured), and the
 #: fused O(N^2 C) compare stays a few ms up to ~8k points
 _DIRECT_MAX_N = 8192
+#: element budget for the direct path's (B, N, N, C) intermediate —
+#: the single-shape cutoff above at C=3; batched calls that would
+#: exceed it (multi-GB if XLA materializes the broadcast) take the
+#: sort path instead
+_DIRECT_BUDGET = _DIRECT_MAX_N * _DIRECT_MAX_N * 3
 
 
 def duplicate_mask(points: jax.Array) -> jax.Array:
@@ -93,7 +98,7 @@ def duplicate_mask(points: jax.Array) -> jax.Array:
     flat = points.reshape((-1, n, c)).astype(jnp.float32)
     b = flat.shape[0]
 
-    if n <= _DIRECT_MAX_N:
+    if n <= _DIRECT_MAX_N and b * n * n * c <= _DIRECT_BUDGET:
         col_idx = jnp.arange(n)
         eq = jnp.all(flat[:, :, None, :] == flat[:, None, :, :], axis=-1)
         earlier = col_idx[None, :] < col_idx[:, None]

@@ -30,6 +30,21 @@ import jax.numpy as jnp
 _INIT_DIST = 1e10
 
 
+def sanitize_points(points: jax.Array,
+                    valid_mask: Optional[jax.Array]):
+    """Make FPS robust to non-finite coordinates: a NaN/Inf point would
+    otherwise poison the min-distance carry (NaN wins argmax, then every
+    later distance is NaN and selection collapses to index 0).  Treat
+    such points as invalid — never selectable — and zero their
+    coordinates so distances *to* them stay finite.  For fully-finite
+    input this is the identity (and the all-True mask reproduces the
+    unmasked carry/seed exactly)."""
+    finite = jnp.all(jnp.isfinite(points), axis=-1)          # (..., N)
+    points = jnp.where(finite[..., None], points, 0.0)
+    mask = finite if valid_mask is None else (valid_mask & finite)
+    return points, mask
+
+
 @partial(jax.jit, static_argnames=("m",))
 def fps_indices(points: jax.Array, m: int,
                 valid_mask: Optional[jax.Array] = None) -> jax.Array:
@@ -40,24 +55,24 @@ def fps_indices(points: jax.Array, m: int,
       m: number of samples (static).
       valid_mask: optional ``(B, N)`` boolean; invalid points are never
         selected.  The seed is the first valid index (index 0 when no
-        mask, matching the CUDA kernel's ``idx[0] = 0``).
+        mask, matching the CUDA kernel's ``idx[0] = 0``).  Non-finite
+        points are always treated as invalid (:func:`sanitize_points`).
 
     Returns:
       ``(B, N)``-indexed ``(B, m)`` int32 indices.
     """
     b, n, _ = points.shape
     points = points.astype(jnp.float32)
+    points, valid_mask = sanitize_points(points, valid_mask)
     # derive the scan carry from `points` (zeros * points) instead of
     # fresh constants: under shard_map the carry must share the data's
-    # varying manual axes or the scan rejects it (carry in/out mismatch)
+    # varying manual axes or the scan rejects it (carry in/out
+    # mismatch); points are finite after sanitize_points so the product
+    # is a true zero
     base = points[..., 0] * 0.0                        # (B, N) "varying 0"
-    if valid_mask is None:
-        seed = base[..., 0].astype(jnp.int32)
-        temp0 = base + _INIT_DIST
-    else:
-        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32) + \
-            base[..., 0].astype(jnp.int32)
-        temp0 = jnp.where(valid_mask, base + _INIT_DIST, base - jnp.inf)
+    seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32) + \
+        base[..., 0].astype(jnp.int32)
+    temp0 = jnp.where(valid_mask, base + _INIT_DIST, base - jnp.inf)
 
     def step(carry, _):
         temp, last_idx = carry
@@ -123,16 +138,30 @@ def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
     return fps_indices(pts, npoint, valid_mask=valid_mask)
 
 
-def morton_codes(points: jax.Array, bits: int = 10) -> jax.Array:
+def morton_codes(points: jax.Array, bits: int = 10,
+                 valid_mask: Optional[jax.Array] = None) -> jax.Array:
     """Z-order (Morton) keys: ``(B, N, 3)`` -> ``(B, N)`` int32.
 
     Coordinates are min-max quantized per batch to a ``2^bits`` grid and
     their bits interleaved, so sorting by the key orders points along a
-    space-filling curve — nearby keys are nearby in space."""
-    lo = jnp.min(points, axis=-2, keepdims=True)
-    hi = jnp.max(points, axis=-2, keepdims=True)
+    space-filling curve — nearby keys are nearby in space.
+
+    ``valid_mask`` (``(B, N)``) restricts the quantization range to the
+    valid points: out-of-range sentinel coordinates on padded rows would
+    otherwise collapse every real point into one Morton cell, silently
+    degrading the stratified grouping to input order.  Masked rows get
+    whatever (clipped) cell they fall in — callers sort them out
+    separately."""
+    if valid_mask is not None:
+        m = valid_mask[..., None]
+        lo = jnp.min(jnp.where(m, points, jnp.inf), axis=-2, keepdims=True)
+        hi = jnp.max(jnp.where(m, points, -jnp.inf), axis=-2, keepdims=True)
+    else:
+        lo = jnp.min(points, axis=-2, keepdims=True)
+        hi = jnp.max(points, axis=-2, keepdims=True)
     scale = (2**bits - 1) / jnp.maximum(hi - lo, 1e-12)
-    q = ((points - lo) * scale).astype(jnp.int32)      # (B, N, 3)
+    q = jnp.clip(((points - lo) * scale).astype(jnp.int32),
+                 0, 2**bits - 1)                       # (B, N, 3)
 
     def spread(v):  # every bit of v to every 3rd position (bits<=10)
         v = (v | (v << 16)) & 0x030000FF
@@ -183,7 +212,8 @@ def fps_hierarchical(points: jax.Array, m: int,
     mask = jnp.broadcast_to(mask, (b, n_pad))
 
     if sort == "morton":
-        key = jnp.where(mask, morton_codes(pts), jnp.int32(2**31 - 1))
+        key = jnp.where(mask, morton_codes(pts, valid_mask=mask),
+                        jnp.int32(2**31 - 1))
         order = jnp.argsort(key, axis=-1).astype(jnp.int32)  # (B, n_pad)
         mask_s = jnp.take_along_axis(mask, order, axis=-1)
         # Balanced placement: the sort put all valid points in one

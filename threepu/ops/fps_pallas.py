@@ -73,9 +73,15 @@ def fps_pallas(points: jax.Array, m: int,
     :func:`threepu.ops.fps.fps_indices`: ``points (B, N, 3)`` -> ``(B, m)``
     int32 in selection order, seeded at the first valid index.
     """
+    from threepu.ops.fps import sanitize_points
+
     b, n, c = points.shape
     assert c == 3, "fps_pallas is implemented for 3D points"
     points = points.astype(jnp.float32)
+    # non-finite points become invalid + zeroed, like fps_indices
+    # (a NaN coordinate would make jnp.max(t) NaN in the kernel body
+    # and no point would ever match the winner select)
+    points, valid_mask = sanitize_points(points, valid_mask)
     n_pad = -(-n // (_LANES * _SUBLANES)) * (_LANES * _SUBLANES)
     s = n_pad // _LANES
 
@@ -84,11 +90,8 @@ def fps_pallas(points: jax.Array, m: int,
     xs, ys, zs = (planes[:, i].reshape(b, s, _LANES) for i in range(3))
 
     temp0 = jnp.full((b, n), _INIT_DIST, jnp.float32)
-    if valid_mask is not None:
-        temp0 = jnp.where(valid_mask, temp0, -jnp.inf)
-        seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32)
-    else:
-        seed = jnp.zeros((b,), jnp.int32)
+    temp0 = jnp.where(valid_mask, temp0, -jnp.inf)
+    seed = jnp.argmax(valid_mask, axis=-1).astype(jnp.int32)
     temp0 = jnp.pad(temp0, ((0, 0), (0, n_pad - n)),
                     constant_values=-jnp.inf).reshape(b, s, _LANES)
 
