@@ -121,9 +121,13 @@ class DenseEdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, idx: Optional[Array] = None,
-                 dup_mask: Optional[Array] = None) -> Tuple[Array, Array]:
+                 dup_mask: Optional[Array] = None,
+                 pallas: bool = False) -> Tuple[Array, Array]:
+        """``pallas=True`` routes the activation chain through the fused
+        VMEM-resident kernel (:mod:`threepu.ops.edgeconv_pallas`) —
+        forward-only, so callers enable it on eval paths only."""
         if self.fused:
-            return self._fused(x, idx, dup_mask)
+            return self._fused(x, idx, dup_mask, pallas)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for i in range(self.n):
@@ -145,7 +149,8 @@ class DenseEdgeConv(nn.Module):
         return y, idx
 
     def _fused(self, x: Array, idx: Optional[Array],
-               dup_mask: Optional[Array]) -> Tuple[Array, Array]:
+               dup_mask: Optional[Array],
+               pallas: bool = False) -> Tuple[Array, Array]:
         """TPU-fused evaluation of the same function.
 
         Key identity: every per-neighbour matmul input is the concat
@@ -182,6 +187,26 @@ class DenseEdgeConv(nn.Module):
             x = x.astype(self.dtype)
             w = [wi.astype(self.dtype) for wi in w]
             b = [bi.astype(self.dtype) for bi in b]
+
+        if pallas:
+            # VMEM-resident chain kernel: XLA computes only the tiny
+            # per-point terms; the (B, N, k, G) chain never touches HBM
+            from threepu.ops.edgeconv_pallas import edge_conv_chain_pallas
+            xf = x.astype(jnp.float32)
+            wf = [wi.astype(jnp.float32) for wi in w]
+            bf = [bi.astype(jnp.float32) for bi in b]
+            wc, wd = wf[0][:c], wf[0][c:]
+            z = xf @ wd
+            pts = [xf @ (wc - wd) + bf[0]]
+            chain_w = []
+            for i in range(1, self.n):
+                pts.append(xf @ wf[i][g * i:] + bf[i])
+                for j in range(i):
+                    chain_w.append(wf[i][g * j: g * (j + 1)])
+            pooled = edge_conv_chain_pallas(z, idx, pts, chain_w,
+                                            self.n, g)
+            pooled = pooled.astype(x.dtype)
+            return jnp.concatenate([pooled, x], axis=-1), idx
 
         wc, wd = w[0][:c], w[0][c:]
         z = x @ wd                                       # (B, N, G)

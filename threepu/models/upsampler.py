@@ -103,7 +103,9 @@ class Level(nn.Module):
     def __call__(self, xyz: Array, xyz_normalized: Array,
                  previous_level4: Optional[Tuple[Array, Array]] = None,
                  prev_group: int = 1,
-                 prev_dup: Optional[Array] = None
+                 prev_dup: Optional[Array] = None,
+                 pallas_ec: bool = False,
+                 prev_pad_m: int = 0
                  ) -> Tuple[Array, Array]:
         """xyz/xyz_normalized: (B, N, 3) (un/normalized input points).
         previous_level4: optional (prev_xyz, prev_feat) from the previous
@@ -136,25 +138,28 @@ class Level(nn.Module):
                       name="layer0")(xyz_normalized)
         self.sow("intermediates", "layer_0", x)
 
-        y, idx = DenseEdgeConv(**ec, name="layer1")(x, dup_mask=dup)
+        y, idx = DenseEdgeConv(**ec, name="layer1")(x, dup_mask=dup, pallas=pallas_ec)
         x = jnp.concatenate([y, x], axis=-1)                     # 84
         self.sow("intermediates", "layer_1", x)
         self.sow("intermediates", "nnIdx_layer_0", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer2")(
-            DenseConv(24, "relu", dtype=self.dtype, name="layer2_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer2_prep")(x), dup_mask=dup,
+            pallas=pallas_ec)
         x = jnp.concatenate([y, x], axis=-1)                     # 144
         self.sow("intermediates", "layer_2", x)
         self.sow("intermediates", "nnIdx_layer_1", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer3")(
-            DenseConv(24, "relu", dtype=self.dtype, name="layer3_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer3_prep")(x), dup_mask=dup,
+            pallas=pallas_ec)
         x = jnp.concatenate([y, x], axis=-1)                     # 204
         self.sow("intermediates", "layer_3", x)
         self.sow("intermediates", "nnIdx_layer_2", idx)
 
         y, idx = DenseEdgeConv(**ec, name="layer4")(
-            DenseConv(24, "relu", dtype=self.dtype, name="layer4_prep")(x), dup_mask=dup)
+            DenseConv(24, "relu", dtype=self.dtype, name="layer4_prep")(x), dup_mask=dup,
+            pallas=pallas_ec)
         x = jnp.concatenate([y, x], axis=-1)                     # 264
         self.sow("intermediates", "layer_4", x)
         self.sow("intermediates", "nnIdx_layer_3", idx)
@@ -171,6 +176,19 @@ class Level(nn.Module):
                 # (P, NQ, M) distance matrix that otherwise caps memory
                 from threepu.ops.interlevel_pallas import (
                     interlevel_interp_pallas)
+                if prev_pad_m > prev_xyz.shape[1]:
+                    # pad the previous set to the cascade's deepest-
+                    # level size so every level's kernel call shares
+                    # one instance; padded rows are marked duplicate
+                    # (the kernel displaces those to 1e15 — never
+                    # selected)
+                    pm = prev_pad_m - prev_xyz.shape[1]
+                    prev_xyz = jnp.pad(prev_xyz,
+                                       ((0, 0), (0, pm), (0, 0)))
+                    prev_feat = jnp.pad(prev_feat,
+                                        ((0, 0), (0, pm), (0, 0)))
+                    prev_dup = jnp.pad(prev_dup, ((0, 0), (0, pm)),
+                                       constant_values=True)
                 interp = interlevel_interp_pallas(
                     xyz, x.astype(jnp.float32), prev_xyz,
                     prev_feat.astype(jnp.float32), prev_dup,
@@ -323,56 +341,131 @@ class Net(nn.Module):
         p, num_point, _ = xyz.shape
         max_np = min(num_point, self.max_num_point)
 
-        old_xyz = old_feats = None
+        # forward-only fused edge-conv chain kernel (eval path only —
+        # it has no VJP); trace-time decision like the interlevel kernel
+        from threepu.ops import edgeconv_pallas
+        pallas_ec = edgeconv_pallas.enabled_for_backend()
+
+        # every re-patching level pads its merged cloud / pick count up
+        # to the DEEPEST level's sizes so all restitch FPS calls share
+        # ONE Pallas kernel instance (axon kernel compiles are ~minute-
+        # scale each; FPS selection is prefix-consistent and padded rows
+        # are masked, so selection is unchanged).  TPU-only: on CPU the
+        # scan path has no per-instance cost to amortize.
+        merge_pad = pick_pad = prev_pad_m = 0
+        if jax.default_backend() == "tpu":
+            prev_size = num_point              # level-1 input size
+            for l in range(2, num_levels + 1):
+                n_c = num_point * self.step_ratio ** (l - 1)
+                if n_c > max_np:
+                    n_s = int(n_c / max_np * 5)
+                    merge_pad = max(merge_pad,
+                                    n_s * max_np * self.step_ratio)
+                    pick_pad = max(pick_pad,
+                                   num_point * self.step_ratio ** l)
+                    # the interlevel kernel at this level searches a
+                    # previous set of prev_size points
+                    prev_pad_m = max(prev_pad_m, prev_size)
+                    prev_size = n_s * max_np
+                else:
+                    prev_size = n_c
+
+        old_xyz = old_feats = prev_invalid = None
         for l in range(1, num_levels + 1):
             curr_ratio = self.step_ratio ** l
             if l == 1:
                 old_xyz = xyz
-                xyz, old_feats = self.levels[0](xyz, xyz, None)
+                xyz, old_feats = self.levels[0](xyz, xyz, None,
+                                                pallas_ec=pallas_ec)
                 continue
 
             n_cur = xyz.shape[1]
             if n_cur > max_np:
                 n_sub = int(n_cur / max_np * 5)
-                sub = self._extract_patch_eval(xyz, max_np, n_sub)
+                sub, true_sub = self._extract_patch_eval(xyz, max_np,
+                                                         n_sub)
                 flat = sub.reshape(p * n_sub, max_np, 3)
                 norm, centroid, radius = normalize_point_batch_cl(flat)
                 # previous arrays stay at top-patch batch; the Level runs
                 # its interlevel kNN grouped (prev_group) and we hand it
-                # the merged-patch duplicate mask once
+                # the merged-patch duplicate mask once.  Phantom previous
+                # rows (see _extract_patch_eval) fold into the mask: like
+                # duplicates, they must never be selected.
                 from threepu.ops import duplicate_mask
                 prev_dup = duplicate_mask(old_xyz)
+                if prev_invalid is not None:
+                    prev_dup = prev_dup | prev_invalid
                 new_xyz, feats = self.levels[l - 1](
                     flat, norm, (old_xyz, old_feats),
-                    prev_group=n_sub, prev_dup=prev_dup)
+                    prev_group=n_sub, prev_dup=prev_dup,
+                    pallas_ec=pallas_ec, prev_pad_m=prev_pad_m)
                 new_xyz = new_xyz * radius + centroid
                 # merge sub-patches back per top patch, then FPS re-stitch
-                merged = new_xyz.reshape(p, n_sub * new_xyz.shape[1], 3)
+                # over the REAL patches only (phantom patches are static-
+                # shape padding beyond the reference's dynamic count)
+                patch_valid = (jnp.arange(n_sub)[None, :]
+                               < true_sub[:, None])          # (p, n_sub)
+                n_lvl = new_xyz.shape[1]
+                merged = new_xyz.reshape(p, n_sub * n_lvl, 3)
+                merge_valid = jnp.broadcast_to(
+                    patch_valid[:, :, None],
+                    (p, n_sub, n_lvl)).reshape(p, -1)
                 n_out = num_point * curr_ratio
                 from threepu.ops.fps import _dispatch_fps
-                sel = _dispatch_fps(merged, n_out, None, None)
-                xyz = gather_nd(merged, sel)
+                n_merged = merged.shape[1]
+                if merge_pad > n_merged or pick_pad > n_out:
+                    merged_p = jnp.pad(
+                        merged, ((0, 0), (0, merge_pad - n_merged),
+                                 (0, 0)))
+                    mv = jnp.pad(merge_valid,
+                                 ((0, 0), (0, merge_pad - n_merged)))
+                    sel = _dispatch_fps(merged_p, pick_pad, mv,
+                                        None)[:, :n_out]
+                    xyz = gather_nd(merged_p, sel)
+                else:
+                    sel = _dispatch_fps(merged, n_out, merge_valid, None)
+                    xyz = gather_nd(merged, sel)
                 old_xyz = flat.reshape(p, n_sub * max_np, 3)
                 old_feats = feats.reshape(p, n_sub * max_np, -1)
+                prev_invalid = ~jnp.broadcast_to(
+                    patch_valid[:, :, None],
+                    (p, n_sub, max_np)).reshape(p, -1)
             else:
                 norm, centroid, radius = normalize_point_batch_cl(xyz)
                 new_xyz, feats = self.levels[l - 1](
-                    xyz, norm, (old_xyz, old_feats))
+                    xyz, norm, (old_xyz, old_feats),
+                    pallas_ec=pallas_ec)
                 old_xyz = xyz
                 old_feats = feats
+                prev_invalid = None
                 xyz = new_xyz * radius + centroid
         return xyz
 
-    def _extract_patch_eval(self, xyz: Array, k: int, n_sub: int) -> Array:
+    def _extract_patch_eval(self, xyz: Array, k: int, n_sub: int
+                            ) -> Tuple[Array, Array]:
         """Static-shape sub-patch extraction (``upsampler.py:59-86``):
         outliers (NN distance >= 5x mean) are masked out of FPS seeding
-        and rank last in grouping instead of being dropped."""
+        and rank last in grouping instead of being dropped.
+
+        The reference derives its sub-patch count from the FILTERED
+        cloud (``upsampler.py:74-76``: ``int(n_filtered / k * 5)``), a
+        data-dependent value.  ``n_sub`` here is the static upper bound
+        (unfiltered count); the traced per-element ``true_sub`` is the
+        reference's dynamic count.  FPS selection is prefix-consistent,
+        so the first ``true_sub`` seeds equal the reference's seeds and
+        patches beyond them are *phantoms* — callers mask them out of
+        the merge and the next level's previous-set.
+
+        Returns (patches ``(p, n_sub, k, 3)``, ``true_sub (p,)`` int32).
+        """
         from threepu.ops.chamfer import self_nn_dist2
         closest = self_nn_dist2(xyz)
         mask = closest < 5.0 * jnp.mean(closest, axis=-1, keepdims=True)
+        n_valid = jnp.sum(mask, axis=-1).astype(jnp.int32)
+        true_sub = jnp.clip((n_valid * 5) // k, 1, n_sub)
         seed_idx = fps_indices(xyz, n_sub, valid_mask=mask)
         seeds = gather_nd(xyz, seed_idx)
-        return knn_group(seeds, xyz, k, valid_mask=mask).neighbors
+        return knn_group(seeds, xyz, k, valid_mask=mask).neighbors, true_sub
 
 
 class AdaptiveLevel(nn.Module):

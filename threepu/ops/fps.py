@@ -128,8 +128,12 @@ def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
         # (benchmarks/tpu_checks.py); the kernel's runtime edge at
         # mid sizes (~1-4k) is small while every extra pallas
         # instance pays a slow axon remote kernel compile, so the
-        # kernel engages where it clearly wins
-        use_pallas = n >= 4096 and jax.default_backend() == "tpu"
+        # kernel engages where it clearly wins.  Small pick counts
+        # (m < 256, e.g. the 48 patch seeds) are dominated by the
+        # per-pick sequential chain either way — the XLA scan is
+        # within noise there and costs no kernel compile.
+        use_pallas = (n >= 4096 and npoint >= 256
+                      and jax.default_backend() == "tpu")
     if use_pallas and n > PALLAS_MAX_N:
         return fps_hierarchical(pts, npoint, valid_mask=valid_mask)
     if use_pallas:

@@ -12,8 +12,8 @@ This kernel fuses the whole block with the previous set resident in
 VMEM.  Grid = (top patch, sub-patch); per program (one sub-patch):
 
 1. exact top-K spatial selection by K lexicographic min-extraction
-   sweeps, distances recomputed on the fly from coordinate planes —
-   no (NQ, M) matrix is ever stored;
+   sweeps over a per-tile (q_tile, Mp) distance block computed once
+   from coordinate planes — no (NQ, M) matrix is ever stored;
 2. each selected column becomes a one-hot row-selection **matmul**
    ``one_hot(idx_k) @ feats`` on the MXU — the TPU-native replacement
    for the slow row gather;
@@ -64,14 +64,17 @@ def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
             qx = qx_ref[0, 0, sl]            # (q_tile, 1)
             qy = qy_ref[0, 0, sl]
             qz = qz_ref[0, 0, sl]
+            # distances computed ONCE per tile (the k min-extraction
+            # sweeps below only re-rank the stored (q_tile, Mp) block —
+            # mirrors the big-M selection kernel's chunk restructure)
+            dx = qx - px
+            dy = qy - py
+            dz = qz - pz
+            d = dx * dx + dy * dy + dz * dz
             d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
             i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
             d_sel, feat_sel = [], []
             for _ in range(k):
-                dx = qx - px
-                dy = qy - py
-                dz = qz - pz
-                d = dx * dx + dy * dy + dz * dz
                 later = (d > d_prev) | ((d == d_prev) & (j_iota > i_prev))
                 cand = jnp.where(later, d, _BIG)
                 d_k = jnp.min(cand, axis=1, keepdims=True)
@@ -325,7 +328,11 @@ def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
     # axon remote compile helper also crashes on >40-program grids at
     # small M when the surrounding program is large (observed with
     # cascade chunk=16), and segmenting costs nothing measurable.
-    g_seg = min(group, _MAX_PROGRAMS_BIG_M)
+    # g_seg is capped at 10 so the production cascade levels (group =
+    # 10/20/40 at chunk 8) all segment to the SAME (4, 10) grid — with
+    # the caller's prev-set padding this makes every level share ONE
+    # kernel instance (one axon kernel compile instead of three).
+    g_seg = min(group, 10, _MAX_PROGRAMS_BIG_M)
     p_seg = max(1, _MAX_PROGRAMS_BIG_M // g_seg)
     q4 = q_xyz.reshape(p, group, n, 3)
     xq4 = xq.reshape(p, group, n, c)
