@@ -124,6 +124,32 @@ class TestShardedInference:
         np.testing.assert_allclose(np.asarray(single), np.asarray(sharded),
                                    atol=1e-4)
 
+    def test_sharded_repatch_cascade(self, net_and_params, shape):
+        """The outlier-masked sub-patch/merge path (ratio 4 at patch
+        size == max_num_point) runs INSIDE shard_map — the sharded
+        pipeline is the serial pipeline, not a fork of it."""
+        net, params = net_and_params
+        mesh = make_mesh(8)
+        single = upsample_point_cloud(net, params, jnp.asarray(shape), 4,
+                                      num_point=64, num_out=512)
+        fn = make_sharded_upsampler(net, mesh, 4, 64, num_out=512)
+        np.testing.assert_allclose(
+            np.asarray(single), np.asarray(fn(params, jnp.asarray(shape))),
+            atol=1e-4)
+
+    def test_sharded_bucketed(self, net_and_params, shape):
+        """Bucketing (valid_n / valid_patches masking) through the
+        sharded pipeline matches the serial bucketed result."""
+        from threepu.inference import upsample_shape
+        net, params = net_and_params
+        mesh = make_mesh(8)
+        pts = shape[:100]
+        _, serial = upsample_shape(net, params, pts, 2, num_point=16,
+                                   chunk=4, bucket=64)
+        _, sharded = upsample_shape(net, params, pts, 2, num_point=16,
+                                    chunk=4, bucket=64, mesh=mesh)
+        np.testing.assert_allclose(serial, sharded, atol=1e-4)
+
 
 class TestShardedTrain:
     def test_matches_single_device(self):

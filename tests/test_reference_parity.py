@@ -252,12 +252,13 @@ class TestChamferParity:
 
 
 def _assert_cascade_close(ref_out, out, rtol=1e-3, atol=2e-4,
-                          max_flip_frac=0.005):
-    """Cascade outputs must agree pointwise except for rare kNN/FPS
-    tie-break flips (SURVEY §7: CUDA-vs-XLA argmin ties make bitwise
-    parity meaningless; the parity target is Chamfer-level).  Assert
-    (a) >= 99.5% of coordinates match to tolerance and (b) the two
-    clouds are Chamfer-indistinguishable."""
+                          max_flip_frac=0.005, cd_tol=1e-5):
+    """Cascade outputs must agree pointwise except for kNN/FPS tie-break
+    flips (SURVEY §7: CUDA-vs-XLA argmin ties make bitwise parity
+    meaningless; the parity target is Chamfer-level).  Assert (a) most
+    coordinates match row-for-row to tolerance — flips compound with
+    cascade depth, so deeper ratios pass a larger ``max_flip_frac`` —
+    and (b) the two clouds are Chamfer-indistinguishable as sets."""
     ref_out = np.asarray(ref_out)
     out = np.asarray(out)
     assert ref_out.shape == out.shape
@@ -268,7 +269,7 @@ def _assert_cascade_close(ref_out, out, rtol=1e-3, atol=2e-4,
         f"max abs diff {np.abs(out - ref_out).max()}")
     from threepu.losses import chamfer_loss
     cd = float(chamfer_loss(jnp.asarray(out), jnp.asarray(ref_out)))
-    assert cd < 1e-5, f"Chamfer between implementations {cd}"
+    assert cd < cd_tol, f"Chamfer between implementations {cd}"
 
 
 # ------------------------------------------------------------- full model
@@ -330,6 +331,98 @@ class TestNetParity:
         out_j = net.apply({"params": params}, jnp.asarray(xyz), 4,
                           train=False)
         _assert_cascade_close(_n(out_t), out_j)
+
+    def test_eval_forward_16x(self, nets):
+        """Eval-mode cascade at the canonical 16x: levels 3-4 run on
+        *merged* previous sets (M = 3120/6240 with genuine duplicate
+        points), engaging the grouped interlevel search and the sorted
+        duplicate mask — the exact code the headline benchmark runs —
+        against the reference's dynamic re-patch/merge/FPS pipeline
+        (``upsampler.py:126-159``)."""
+        net, params, ref_net = nets
+        rng = np.random.default_rng(13)
+        xyz = rng.uniform(-1, 1, (1, 312, 3)).astype(np.float32)
+        xyz /= np.linalg.norm(xyz, axis=-1, keepdims=True).max()
+
+        ref_net.eval()
+        with torch.no_grad():
+            out_t = ref_net(_t(xyz), ratio=16)
+
+        out_j = net.apply({"params": params}, jnp.asarray(xyz), 16,
+                          train=False)
+        # three FPS re-stitch stages compound order flips (measured:
+        # 8.4% of rows shuffled, sets Chamfer-identical at 2.8e-9); the
+        # set-level bound is the meaningful assertion here
+        _assert_cascade_close(_n(out_t), out_j, max_flip_frac=0.15,
+                              cd_tol=1e-7)
+
+    def test_multi_step_training(self, nets, ref):
+        """N optimizer steps on BOTH implementations from identical
+        weights (via the .pth bridge) on identical batches: Adam(5e-4)
+        + grad value clip 1.0 + reference loss weighting
+        (``model.py:21-23,53-66,72``).  Asserts the loss trajectories
+        track and the final parameters agree — the multi-step
+        correctness gap left by the single-step gradient test."""
+        import copy
+
+        net, params, ref_net = nets
+        steps, batch, weight = 40, 2, 3.0  # ratio 2 -> log2(16/2) = 3
+        rng = np.random.default_rng(14)
+        batches = [
+            (rng.standard_normal((batch, 312, 3)).astype(np.float32),
+             rng.standard_normal((batch, 624, 3)).astype(np.float32))
+            for _ in range(steps)]
+
+        # ---- reference: the exact Model.optimize() recipe
+        ref_train = copy.deepcopy(ref_net)  # keep the fixture pristine
+        ref_train.train()
+        opt = torch.optim.Adam(ref_train.parameters(), lr=5e-4,
+                               betas=(0.9, 0.999))
+        crit = ref.model_loss.ChamferLoss()
+        losses_t = []
+        for x, gt in batches:
+            opt.zero_grad()
+            out_t, gt_t = ref_train(_t(x), ratio=2, gt=_t(gt))
+            loss = crit(out_t.transpose(1, 2).contiguous(),
+                        gt_t.transpose(1, 2).contiguous()) * weight
+            loss.backward()
+            torch.nn.utils.clip_grad_value_(ref_train.parameters(), 1)
+            opt.step()
+            losses_t.append(float(loss.detach()))
+
+        # ---- threepu: the jitted train_step with the same optimizer
+        from threepu.train.model import (TrainState, make_optimizer,
+                                         train_step)
+        tx = make_optimizer(5e-4)
+        # train_step donates its state: start from a COPY so the
+        # module-scoped fixture's param buffers stay alive
+        params0 = jax.tree_util.tree_map(jnp.copy, params)
+        state = TrainState(params=params0, opt_state=tx.init(params0),
+                           step=jnp.asarray(0, jnp.int32))
+        losses_j = []
+        for x, gt in batches:
+            state, cd = train_step(
+                net, tx, state, jax.random.PRNGKey(0), jnp.asarray(x),
+                jnp.asarray(gt), 2, weight_mode="reference")
+            losses_j.append(float(cd) * weight)
+
+        losses_t = np.asarray(losses_t)
+        losses_j = np.asarray(losses_j)
+        rel = np.abs(losses_t - losses_j) / np.abs(losses_t)
+        # float noise amplifies chaotically through Chamfer argmin flips
+        # (measured envelope: <=1e-4 through step 8, <=1.2% at step 40);
+        # early steps must agree tightly, the trajectory must track
+        assert rel[:8].max() < 5e-3, rel[:8]
+        assert rel.max() < 5e-2, (rel.argmax(), rel.max())
+
+        from threepu.io.checkpoint import export_reference_state
+        final_j = export_reference_state(state.params)["states"]
+        named = dict(ref_train.named_parameters())
+        drift = max(
+            float((named[k].detach() - torch.as_tensor(
+                np.asarray(v))).abs().max())
+            for k, v in final_j.items())
+        assert drift < 3e-2, drift  # measured 8.7e-3 at 40 steps
 
     def test_train_gradients_2x(self, nets, ref):
         """d(weighted chamfer loss)/d(params) parity at ratio 2 (single

@@ -32,27 +32,33 @@ Array = jax.Array
 
 def plan_patches(num_shape_point: int, num_point: int,
                  patch_num_ratio: float = 3.0,
-                 chunk: Optional[int] = None) -> Tuple[int, int, int]:
+                 chunk: Optional[int] = None,
+                 n_dev: int = 1) -> Tuple[int, int, int]:
     """(num_patches, padded_num_patches, chunk): the reference patch
     count ``int(N / num_point * patch_num_ratio)`` (``main.py:225``),
-    padded up so the chunked map divides evenly."""
+    padded up so the chunked map divides evenly — and, for a sharded run
+    (``n_dev > 1``), so every device gets the same whole number of
+    chunks."""
     num_patches = int(num_shape_point / num_point * patch_num_ratio)
     num_patches = max(num_patches, 1)
-    if chunk is None or chunk >= num_patches:
-        chunk = num_patches
-    padded = -(-num_patches // chunk) * chunk
+    local = -(-num_patches // n_dev)
+    if chunk is None or chunk >= local:
+        chunk = local
+    padded = -(-num_patches // (chunk * n_dev)) * chunk * n_dev
     return num_patches, padded, chunk
 
 
 @partial(jax.jit,
          static_argnames=("net", "ratio", "num_point", "num_out",
-                          "patch_num_ratio", "chunk"))
+                          "patch_num_ratio", "chunk", "mesh",
+                          "axis_name"))
 def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                          num_point: int, num_out: int,
                          patch_num_ratio: float = 3.0,
                          chunk: Optional[int] = None,
                          valid_n: Optional[Array] = None,
-                         valid_patches: Optional[Array] = None) -> Array:
+                         valid_patches: Optional[Array] = None,
+                         mesh=None, axis_name: str = "data") -> Array:
     """Upsample one (normalized) shape.
 
     Args:
@@ -78,6 +84,12 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
       valid_patches: traced scalar, the reference patch count for the
         real size (``int(true_n / num_point * patch_num_ratio)``); seeds
         beyond it are masked out of the merge.
+      mesh: optional ``jax.sharding.Mesh`` — the cascade (all the FLOPs)
+        runs under ``shard_map`` with the patch axis sharded over
+        ``axis_name``; seed-FPS/grouping/final-FPS run in the same jit
+        program with XLA-chosen shardings.  Every serial-path feature
+        (bucketing, ``valid_n`` masking, outlier-masked sub-patching)
+        applies identically — there is ONE pipeline.
 
     Returns:
       ``(num_out, 3)`` upsampled shape in the same normalized frame;
@@ -85,8 +97,10 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
       (FPS prefix consistency again).
     """
     n = xyz.shape[0]
+    n_dev = mesh.devices.size if mesh is not None else 1
     num_patches, padded, chunk = plan_patches(n, num_point,
-                                              patch_num_ratio, chunk)
+                                              patch_num_ratio, chunk,
+                                              n_dev)
 
     # seed-FPS + grouping over the whole shape (main.py:228-235)
     shape_b = xyz[None]                                       # (1, N, 3)
@@ -105,13 +119,24 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
 
     norm, centroid, radius = normalize_point_batch_cl(patches)
 
-    def run_chunk(chunk_patches):                             # (c, K, 3)
-        return net.apply({"params": params}, chunk_patches, ratio,
-                         train=False)
+    def run_chunks(p, patches, count):                # (count*chunk, K, 3)
+        chunked = patches.reshape(count, chunk, num_point, 3)
+        up = jax.lax.map(
+            lambda c: net.apply({"params": p}, c, ratio, train=False),
+            chunked)
+        return up.reshape(count * chunk, num_point * ratio, 3)
 
-    chunked = norm.reshape(padded // chunk, chunk, num_point, 3)
-    up = jax.lax.map(run_chunk, chunked)
-    up = up.reshape(padded, num_point * ratio, 3)
+    if mesh is None:
+        up = run_chunks(params, norm, padded // chunk)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        norm = jax.lax.with_sharding_constraint(
+            norm, NamedSharding(mesh, P(axis_name, None, None)))
+        local = padded // n_dev
+        up = jax.shard_map(
+            partial(run_chunks, count=local // chunk), mesh=mesh,
+            in_specs=(P(), P(axis_name, None, None)),
+            out_specs=P(axis_name, None, None))(params, norm)
     up = up * radius + centroid                               # denormalize
 
     merged = up.reshape(1, padded * num_point * ratio, 3)
@@ -142,7 +167,8 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
                    jitter_max: float = 0.005,
                    drop_out: float = 1.0,
                    seed: int = 0,
-                   bucket: Optional[int] = None
+                   bucket: Optional[int] = None,
+                   mesh=None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing convenience mirroring ``test()``'s per-file flow
     (``main.py:341-389``): optional FPS drop-out, normalize, optional
@@ -190,12 +216,13 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
             net, params, jnp.asarray(padded), ratio, num_point,
             n_b * ratio, patch_num_ratio=patch_num_ratio, chunk=chunk,
             valid_n=jnp.asarray(n_real, jnp.int32),
-            valid_patches=jnp.asarray(true_patches, jnp.int32))
+            valid_patches=jnp.asarray(true_patches, jnp.int32),
+            mesh=mesh)
         up = np.asarray(up)[:num_out]
     else:
         up = np.asarray(upsample_point_cloud(
             net, params, jnp.asarray(data), ratio, num_point, num_out,
-            patch_num_ratio=patch_num_ratio, chunk=chunk))
+            patch_num_ratio=patch_num_ratio, chunk=chunk, mesh=mesh))
     up = up * furthest + centroid
     data = data * furthest + centroid
     return data, up

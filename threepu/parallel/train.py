@@ -29,12 +29,13 @@ def make_sharded_train_step(net, tx, mesh, axis_name: str = "data"):
     shard = NamedSharding(mesh, P(axis_name))
 
     @partial(jax.jit,
-             static_argnames=("ratio", "threshold", "weight_mode"),
+             static_argnames=("ratio", "threshold", "weight_mode",
+                              "with_pred"),
              in_shardings=(repl, repl, shard, shard),
              donate_argnums=(0,))
     def step(state: TrainState, key, inp, gt, ratio: int,
              threshold: Optional[float] = None,
-             weight_mode: str = "floored"):
+             weight_mode: str = "floored", with_pred: bool = False):
         weight = loss_weight(ratio, net.max_up_ratio, net.step_ratio,
                              weight_mode)
 
@@ -42,19 +43,23 @@ def make_sharded_train_step(net, tx, mesh, axis_name: str = "data"):
             pred, gt_out = net.apply({"params": params}, inp, ratio, gt,
                                      train=True, rngs={"patch": key})
             cd = chamfer_loss(pred, gt_out, threshold=threshold)
-            return cd * weight, cd
+            return cd * weight, (cd, pred, gt_out)
 
-        (_, cd), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params)
+        (_, (cd, pred, gt_out)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), cd
+        new_state = TrainState(new_params, new_opt, state.step + 1)
+        if with_pred:
+            return new_state, cd, (pred, gt_out)
+        return new_state, cd
 
     def wrapped(_net, _tx, state, key, inp, gt, ratio,
-                threshold=None, weight_mode="floored"):
-        inp = jax.device_put(inp, shard)
-        gt = jax.device_put(gt, shard)
-        # pjit with in_shardings requires positional args
-        return step(state, key, inp, gt, ratio, threshold, weight_mode)
+                threshold=None, weight_mode="floored", with_pred=False):
+        # jit's in_shardings reshard host/replicated inputs on entry —
+        # no per-step device_put round trip.  Positional args only
+        # (pjit requirement with in_shardings).
+        return step(state, key, inp, gt, ratio, threshold, weight_mode,
+                    with_pred)
 
     return wrapped

@@ -170,18 +170,18 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             # checkpoint this makes resume bit-exact
             k_step = jax.random.fold_in(key, step)
             # log steps run the with_pred program variant so the monitor
-            # can plot the actual prediction (main.py:184-195)
+            # can plot the actual prediction (main.py:184-195) — both
+            # serial and sharded steps support it
             log_now = (log_fn is not None
-                       and (step + 1) % cfg.log_steps == 0
-                       and sharded_step is None)
+                       and (step + 1) % cfg.log_steps == 0)
             pred = gt_out = None
+            step_fn = sharded_step or train_step
             if log_now:
-                state, cd, (pred, gt_out) = train_step(
+                state, cd, (pred, gt_out) = step_fn(
                     net, tx, state, k_step, inp, gt, ratio,
                     threshold=st.threshold, weight_mode=cfg.weight_mode,
                     with_pred=True)
             else:
-                step_fn = sharded_step or train_step
                 state, cd = step_fn(net, tx, state, k_step, inp, gt,
                                     ratio, threshold=st.threshold,
                                     weight_mode=cfg.weight_mode)
