@@ -39,6 +39,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--stage_steps", type=int, default=150)
+    ap.add_argument("--knn_ablation", action="store_true",
+                    help="after training, upsample the held-out shape "
+                         "with exact vs approx kNN selection and record "
+                         "the quality (Chamfer) and throughput of both "
+                         "(the asterisk on the headline: ops/knn.py "
+                         "'auto' uses approx_max_k on TPU at N >= 4096 "
+                         "where the reference is always exact)")
     args = ap.parse_args()
 
     import jax
@@ -90,8 +97,40 @@ def main() -> int:
     wall = time.time() - t0
     cd_trained = chamfer(upsample_with(state.params), gt)
 
+    knn_rows = {}
+    if args.knn_ablation:
+        from threepu.ops import knn as knn_mod
+        from threepu.inference import upsample_point_cloud, upsample_shape
+
+        for method in ("auto", "exact"):
+            knn_mod.set_knn_method(method)
+            # the selection backend is read at TRACE time — bust the
+            # pipeline's jit cache so the method actually applies
+            upsample_point_cloud.clear_cache()
+            t0 = time.time()
+            cd = chamfer(upsample_with(state.params), gt)
+            compile_s = time.time() - t0
+            times = []
+            for i in range(2):
+                fresh = np.random.default_rng(100 + i).standard_normal(
+                    (5000, 3)).astype(np.float32)
+                t0 = time.time()
+                _, up = upsample_shape(net, state.params, fresh, 16,
+                                       num_point=312, chunk=8)
+                float(up.std())
+                times.append(time.time() - t0)
+            knn_rows[method] = {
+                "chamfer_trained": cd,
+                "wall_s_per_shape": round(min(times), 3),
+                "pts_per_s": round(80000 / min(times), 1),
+                "compile_s": round(compile_s, 1),
+            }
+            print(f"knn={method}: {knn_rows[method]}", flush=True)
+        knn_mod.set_knn_method("auto")
+
     report = {
         "train_steps": args.steps, "train_wall_s": round(wall, 1),
+        "knn_ablation": knn_rows,
         "chamfer_input_vs_gt": cd_input,
         "chamfer_random_init": cd_init,
         "chamfer_trained": cd_trained,

@@ -1,0 +1,157 @@
+"""Roofline / MFU accounting for the 16x headline eval pipeline.
+
+Builds an analytic FLOPs + HBM-bytes model of the cascade from the
+architecture constants (SURVEY §6 north-star: where is the remaining
+headroom and which optimization retires it), prints a per-stage table,
+and — given a measured wall time — the achieved fraction of each roof.
+
+Two FLOP counts are reported:
+
+- *algorithmic*: the math the model definition requires;
+- *implemented*: what the current TPU program actually issues — e.g.
+  the in-VMEM one-hot gather is a (N*k, N_pad) matmul (rows x N_pad x
+  G-padded lanes), and MXU tiles quantize every matmul up to 128-wide
+  operands.
+
+v5e peaks used (per chip): 197 TFLOP/s bf16, ~49 TFLOP/s f32-ish
+(bf16x3 passes), 819 GB/s HBM.
+
+Run anywhere: python benchmarks/roofline.py [--wall_s 1.5]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+PEAK_BF16 = 197e12
+PEAK_F32 = 49e12
+PEAK_HBM = 819e9
+
+
+def ceil_to(x, m):
+    return -(-x // m) * m
+
+
+def mxu_flops(m, k, n, lane=128, sub=8):
+    """FLOPs the MXU actually performs for an (m,k)@(k,n) matmul after
+    tile quantization."""
+    return 2 * ceil_to(m, sub) * ceil_to(k, lane) * ceil_to(n, lane)
+
+
+def pipeline_model(n_shape=5000, ratio=16, num_point=312, chunk=8,
+                   knn=32, g=12, dense_n=3, fm_knn=5, c_in=24):
+    import math
+
+    num_levels = int(math.log2(ratio))
+    num_patches = max(int(n_shape / num_point * 3.0), 1)
+    n_chunks = -(-num_patches // chunk)
+    max_np = num_point if num_point < 312 else 312
+
+    stages = []  # (name, alg_flops, impl_flops_bf16, impl_flops_f32, hbm_bytes)
+
+    def add(name, alg, impl16, impl32, hbm):
+        stages.append((name, alg, impl16, impl32, hbm))
+
+    # per-chunk level batches
+    level_b = []
+    n_cur = num_point
+    for l in range(1, num_levels + 1):
+        if l == 1:
+            level_b.append(chunk)
+            n_cur = num_point * 2
+            continue
+        if n_cur > max_np:
+            n_sub = int(n_cur / max_np * 5)
+            level_b.append(chunk * n_sub)
+        else:
+            level_b.append(chunk)
+        n_cur = num_point * 2 ** l
+
+    n = max_np
+    rows = n * knn
+    n_pad = ceil_to(n, 128)
+
+    ec_alg = ec16 = ec32 = ec_hbm = 0
+    knn_alg = knn16 = knn32 = knn_hbm = 0
+    dec_alg = dec32 = dec_hbm = 0
+    for b in level_b:
+        for _ in range(4):  # 4 edge convs per level
+            # kNN graph: distance matrix + top_k
+            knn_alg += b * 2 * n * n * c_in
+            knn16 += b * mxu_flops(n, c_in, n) * 3  # HIGH = 3 passes
+            knn_hbm += b * n * n * 4 * 2            # D write+read (top_k)
+            # gather (one-hot in VMEM): algorithmic = data movement only
+            ec_alg += b * rows * g * 2              # zn + pt add
+            ec16 += b * 2 * mxu_flops(rows, n_pad, g)   # hi/lo passes
+            # chain matmuls (f32)
+            nmm = dense_n * (dense_n - 1) // 2
+            ec_alg += b * nmm * rows * g * g * 2
+            ec32 += b * nmm * mxu_flops(rows, g, g)
+            # per-point terms (z, pt0, accs) + prep convs
+            ec_alg += b * n * c_in * g * 2 * (dense_n + 2)
+            ec32 += b * (dense_n + 2) * mxu_flops(n, c_in, g)
+            # kernel IO: z, idx, pts, out
+            ec_hbm += b * n_pad * 4 * (g * (2 * dense_n + 1) + knn)
+        # interlevel skip (fm_knn sweeps in VMEM; feature gather)
+        il_m = 6656  # padded shared prev set
+        knn_alg += b * 2 * n * il_m * 3
+        knn16 += b * fm_knn * n * il_m * 8  # sweep VPU work ~8 ops/elem
+        # decode MLP: (264+L)->128->128->64->3 on n*2 points
+        dn = n * 2
+        for ci, co in ((266, 128), (128, 128), (128, 64), (64, 3)):
+            dec_alg += b * dn * ci * co * 2
+            dec32 += b * mxu_flops(dn, ci, co)
+        dec_hbm += b * dn * (266 + 128 + 128 + 64 + 3) * 4 * 2
+
+    per_chunk = dict(edgeconv=(ec_alg, ec16, ec32, ec_hbm),
+                     knn_select=(knn_alg, knn16, 0, knn_hbm),
+                     decode=(dec_alg, 0, dec32, dec_hbm))
+    for name, (alg, i16, i32, hbm) in per_chunk.items():
+        add(name, alg * n_chunks, i16 * n_chunks, i32 * n_chunks,
+            hbm * n_chunks)
+
+    # FPS: restitch (3 unified calls/chunk at padded sizes) + final
+    fps_vpu = 0
+    for picks, pts in ((4992, 24960),) * 3:
+        fps_vpu += picks * pts * 8 * n_chunks
+    fps_vpu += n_shape * ratio * (num_patches * num_point * ratio) * 8 // 16
+    add("fps", fps_vpu // 8, fps_vpu, 0, 0)
+
+    return stages
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--wall_s", type=float, default=None)
+    args = ap.parse_args()
+
+    stages = pipeline_model()
+    tot_alg = sum(s[1] for s in stages)
+    tot16 = sum(s[2] for s in stages)
+    tot32 = sum(s[3] for s in stages)
+    tot_hbm = sum(s[4] for s in stages)
+
+    print(f"{'stage':<12}{'alg GFLOP':>12}{'impl bf16':>12}"
+          f"{'impl f32':>12}{'HBM GB':>10}{'roof ms':>10}")
+    for name, alg, i16, i32, hbm in stages:
+        roof = max(i16 / PEAK_BF16 + i32 / PEAK_F32, hbm / PEAK_HBM)
+        print(f"{name:<12}{alg/1e9:>12.2f}{i16/1e9:>12.2f}"
+              f"{i32/1e9:>12.2f}{hbm/1e9:>10.3f}{roof*1e3:>10.2f}")
+    roof_s = tot16 / PEAK_BF16 + tot32 / PEAK_F32
+    roof_hbm = tot_hbm / PEAK_HBM
+    print(f"{'TOTAL':<12}{tot_alg/1e9:>12.2f}{tot16/1e9:>12.2f}"
+          f"{tot32/1e9:>12.2f}{tot_hbm/1e9:>10.3f}")
+    print(f"compute roof {roof_s*1e3:.1f} ms   hbm roof "
+          f"{roof_hbm*1e3:.1f} ms")
+    if args.wall_s:
+        print(f"measured {args.wall_s*1e3:.0f} ms -> "
+              f"{100*tot_alg/PEAK_BF16/args.wall_s:.3f}% algorithmic MFU, "
+              f"{100*max(roof_s, roof_hbm)/args.wall_s:.1f}% of the "
+              f"implemented-program roof")
+
+
+if __name__ == "__main__":
+    main()

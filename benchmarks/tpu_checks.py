@@ -13,6 +13,8 @@ Checks (reference kernels being replaced in parentheses):
   2. nn_one_way_pallas == chunked XLA     (nmdistance_cuda.cu:11-133)
   3. interlevel_interp_pallas == XLA path (the fused eval interlevel
      skip, upsampler.py:316-347 capability)
+  4. edge_conv_chain_pallas == XLA fused schedule (the DenseEdgeConv
+     hot loop, layers.py:33-64 capability)
 
 Usage: python benchmarks/tpu_checks.py   (needs the axon TPU backend)
 Results are recorded in benchmarks/RESULTS.md.
@@ -147,6 +149,35 @@ def check_interlevel():
               f"close={frac:.4%} max|d|={np.abs(out - ref).max():.2e}")
 
 
+def check_edgeconv():
+    """Fused edge-conv chain kernel vs the XLA decomposed schedule at
+    production cascade sizes (N=312, k=32, growth 12, dense_n 3; B
+    covers the level-1 chunk and the level-4 sub-patch batch)."""
+    from threepu.models.layers import DenseEdgeConv
+
+    print("edge_conv_chain_pallas vs XLA fused schedule")
+    rng = np.random.default_rng(4)
+    mod = DenseEdgeConv(growth_rate=12, n=3, k=32, fused=True)
+    x0 = jnp.asarray(rng.standard_normal((8, 312, 24)), jnp.float32)
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x0)
+    for b in (8, 320):
+        x = jnp.asarray(rng.standard_normal((b, 312, 24)), jnp.float32)
+        y_ref, i_ref = jax.jit(
+            lambda v: mod.apply(params, v))(x)
+        y_k, i_k = jax.jit(
+            lambda v: mod.apply(params, v, pallas=True))(x)
+        idx_eq = np.array_equal(np.asarray(i_ref), np.asarray(i_k))
+        y_ref, y_k = np.asarray(y_ref), np.asarray(y_k)
+        # the XLA side's matmuls run at the backend default (bf16
+        # passes); the kernel is hi/lo-exact gather + f32 chain, so the
+        # difference IS the XLA path's bf16 band
+        scale = np.abs(y_ref).max()
+        close = np.isclose(y_k, y_ref, rtol=5e-3, atol=5e-3 * scale)
+        check(f"B={b} N=312 k=32", idx_eq and close.mean() > 0.999,
+              f"close={close.mean():.4%} "
+              f"max|dy|={np.abs(y_k - y_ref).max():.2e} scale={scale:.1e}")
+
+
 def check_bucketing():
     """Bucketed (padded + masked) inference vs the exact-size compile.
 
@@ -197,6 +228,7 @@ def main():
     check_fps()
     check_nn()
     check_interlevel()
+    check_edgeconv()
     check_bucketing()
     print(f"total {time.time() - t0:.0f}s")
     if FAILURES:
