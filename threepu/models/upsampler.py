@@ -420,7 +420,7 @@ class Net(nn.Module):
                     mv = jnp.pad(merge_valid,
                                  ((0, 0), (0, merge_pad - n_merged)))
                     sel = _dispatch_fps(merged_p, pick_pad, mv,
-                                        None)[:, :n_out]
+                                        None, m_eff=n_out)[:, :n_out]
                     xyz = gather_nd(merged_p, sel)
                 else:
                     sel = _dispatch_fps(merged, n_out, merge_valid, None)

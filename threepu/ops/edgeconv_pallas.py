@@ -101,11 +101,20 @@ def _make_kernel(n: int, k: int, g: int, num_n: int, n_pad: int,
 
     # NOTE on structure: this Mosaic build hard-crashes on any reshape
     # whose minor (lane) dimension is not 128-aligned (probed in
-    # benchmarks/ec_probe.py / probe sweeps).  The kernel therefore
-    # avoids reshapes entirely: the index block arrives j-major
-    # (rows, 1) from XLA, packing (rows, G) -> (TP, K*G) is aligned
-    # sublane slices + a lane concat, point terms tile by concat, and
-    # the k-pool is a cyclic-roll max tree.
+    # benchmarks/ec_probe.py / probe sweeps).  Beyond crashes, the
+    # kernel is op-COUNT bound, not FLOP bound (measured ~63 us/tile vs
+    # ~3 us of MXU work): every per-tile op carries ~0.5-1 us of fixed
+    # overhead, so the packed (TP, K*G) layout's 32-slice lane concats
+    # (zn pack + 3 point-term tiles = ~128 ops/tile) dominated runtime.
+    # This body therefore stays in the j-major (rows, G) layout end to
+    # end — no packing — and replaces every K-iteration loop with a
+    # single op:
+    #   * point terms tile to rows via a constant tile(I_TP) one-hot
+    #     matmul (exact: one unit product per output row);
+    #   * chain matmuls run directly on (rows, G) with Mosaic padding
+    #     G -> 128 lanes internally;
+    #   * the k-pool is a cyclic-roll max tree over the SUBLANE axis
+    #     (j-major rows: pooled row i = max_j x[j*TP + i]).
 
     def kernel(z_ref, idx_ref, pts_ref, w_ref, out_ref):
         z = z_ref[0]                                   # (N_pad, G) f32
@@ -113,6 +122,31 @@ def _make_kernel(n: int, k: int, g: int, num_n: int, n_pad: int,
         z_hi = z.astype(jnp.bfloat16)
         if gather_mode == "onehot":
             z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # constant row-tiling operand: tile_mat[j*TP + i, i] = 1.
+        # Augmenting the one-hot / chain LHS with it folds the per-point
+        # additive term into the same matmul (exact: unit products), so
+        # no (rows, G) add or separate tiling op ever materializes.
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (rows, tp), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (rows, tp), 1)
+        tile_bf = (iota_r % tp == iota_c).astype(jnp.bfloat16)
+        tile_f32 = tile_bf.astype(jnp.float32)
+
+        def kpool(x):
+            """Max over the K j-major row blocks by a slice-halving
+            tree: touches 2x the tensor instead of the roll tree's
+            log2(K)x (all slice offsets are TP-sublane aligned).
+            Non-power-of-2 K falls back to the cyclic-roll tree."""
+            if k & (k - 1) == 0:
+                h = rows // 2
+                while h >= tp:
+                    x = jnp.maximum(x[:h], x[h:2 * h])
+                    h //= 2
+                return x
+            sh = tp
+            while sh < rows:
+                x = jnp.maximum(x, pltpu.roll(x, rows - sh, 0))
+                sh *= 2
+            return x[:tp]
 
         for t in range(n_tiles):
             sl = pl.ds(t * tp, tp)
@@ -123,42 +157,46 @@ def _make_kernel(n: int, k: int, g: int, num_n: int, n_pad: int,
             # minor-dim-preserving reshape (the allowed kind); row
             # r = j*TP + i keeps the j-major order
             oh = oh.reshape(rows, n_pad)
-            zn = jnp.dot(oh, z_hi, preferred_element_type=jnp.float32)
-            if gather_mode == "onehot":
-                zn = zn + jnp.dot(oh, z_lo,
-                                  preferred_element_type=jnp.float32)
-            # pack (rows, G) -> (TP, K*G): row r = j*TP + i holds
-            # (point i, neighbour j), so per-j blocks are aligned
-            # sublane slices
-            zn = jnp.concatenate(
-                [zn[j * tp:(j + 1) * tp] for j in range(k)], axis=1)
+            oh = jnp.concatenate([oh, tile_bf], axis=1)  # (rows, N_pad+TP)
 
-            def point_term(s):
-                pt = pts_ref[0, s, sl, :]              # (TP, G)
-                return jnp.concatenate([pt] * k, axis=1)
+            def gather_plus_pt(pt):
+                """[oh | tile] @ [[z]; [pt]] == z[idx] + pt[row], one
+                (pair of) matmul(s)."""
+                aug_hi = jnp.concatenate(
+                    [z_hi, pt.astype(jnp.bfloat16)], axis=0)
+                out = jnp.dot(oh, aug_hi,
+                              preferred_element_type=jnp.float32)
+                if gather_mode == "onehot":
+                    pt_lo = (pt - pt.astype(jnp.bfloat16)
+                             .astype(jnp.float32)).astype(jnp.bfloat16)
+                    aug_lo = jnp.concatenate([z_lo, pt_lo], axis=0)
+                    out = out + jnp.dot(oh, aug_lo,
+                                        preferred_element_type=jnp.float32)
+                return out
 
-            gs = [jax.nn.relu(zn + point_term(0))]
+            gs = [jax.nn.relu(gather_plus_pt(pts_ref[0, 0, sl, :]))]
             blk = 0
             for i in range(1, n):
-                y = point_term(i)
-                for j in range(i):
-                    w = w_ref[blk]            # (KG, KG) block-diagonal
+                # first chain matmul carries the point term: the LHS is
+                # [g_{i-1} | tile_mat], the RHS [[W_i0]; [pt_i]]
+                w0 = w_ref[blk].astype(jnp.float32)           # (G, G)
+                blk += 1
+                lhs = jnp.concatenate([gs[i - 1], tile_f32], axis=1)
+                rhs = jnp.concatenate(
+                    [w0, pts_ref[0, i, sl, :].astype(jnp.float32)],
+                    axis=0)                             # (G + TP, G)
+                y = jnp.dot(lhs, rhs, preferred_element_type=jnp.float32)
+                for j in range(1, i):
+                    w = w_ref[blk].astype(jnp.float32)
                     blk += 1
                     y = y + jnp.dot(gs[i - 1 - j], w,
                                     preferred_element_type=jnp.float32)
                 gs.append(y if i == n - 1 else jax.nn.relu(y))
 
             # pooled stage outputs, ordered [g_{n-1}, ..., g_0] to match
-            # the decomposed schedule's reversed concat; pool over the
-            # K lane-blocks by a cyclic-roll max tree (roll(kg - s) ==
-            # roll(-s): block 0 accumulates the max over all K blocks)
+            # the decomposed schedule's reversed concat
             for s in range(n):
-                x = gs[n - 1 - s]
-                sh = g
-                while sh < kg:
-                    x = jnp.maximum(x, pltpu.roll(x, kg - sh, 1))
-                    sh *= 2
-                out_ref[0, s, sl, :] = x[:, :g]
+                out_ref[0, s, sl, :] = kpool(gs[n - 1 - s])
 
     return kernel
 
@@ -193,14 +231,8 @@ def _ec_chain_call(z: jax.Array, idx: jax.Array, pts: jax.Array,
     pts_p = jnp.pad(pts.astype(jnp.float32),
                     ((0, 0), (0, 0), (0, n_pad - num_n), (0, 0)))
     ncw = max(n * (n - 1) // 2, 1)
-    # chain weights expand to block-diagonal (K*G, K*G) so the in-kernel
-    # matmuls run on the packed (TP, K*G) layout with dense lanes
-    if wblk.shape[0]:
-        eye_k = jnp.eye(k, dtype=jnp.float32)
-        w_p = jax.vmap(lambda w: jnp.kron(eye_k, w.astype(jnp.float32))
-                       )(wblk)
-    else:
-        w_p = jnp.zeros((ncw, kg, kg), jnp.float32)
+    w_p = (wblk.astype(jnp.float32) if wblk.shape[0]
+           else jnp.zeros((ncw, g, g), jnp.float32))
 
     z_spec = pl.BlockSpec((1, n_pad, g), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -208,7 +240,7 @@ def _ec_chain_call(z: jax.Array, idx: jax.Array, pts: jax.Array,
                             memory_space=pltpu.VMEM)
     pts_spec = pl.BlockSpec((1, n, n_pad, g), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((ncw, kg, kg), lambda i: (0, 0, 0),
+    w_spec = pl.BlockSpec((ncw, g, g), lambda i: (0, 0, 0),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, n, n_pad, g), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -223,7 +255,7 @@ def _ec_chain_call(z: jax.Array, idx: jax.Array, pts: jax.Array,
         out_shape=jax.ShapeDtypeStruct((s, n, n_pad, g), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=s * (passes * 2 * cover * k * n_pad * g
-                       + 2 * chain_mm * cover * kg * kg),
+                       + 2 * chain_mm * cover * k * g * g),
             bytes_accessed=s * n_pad * 4 * (g * (2 * n + 1) + k),
             transcendentals=0),
         interpret=interpret,

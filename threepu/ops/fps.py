@@ -121,7 +121,14 @@ def furthest_point_sample(
 PALLAS_MAX_N = 480_000
 
 
-def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
+def _dispatch_fps(pts, npoint, valid_mask, use_pallas, m_eff=None):
+    """``m_eff`` (traced scalar <= npoint) bounds the Pallas kernel's
+    sequential pick loop dynamically; rows ``m_eff:`` of the result are
+    then arbitrary unselected indices.  Callers that over-pick only to
+    share one padded kernel instance pass their real count here (FPS
+    picks are prefix-stable, so the first ``m_eff`` rows are identical
+    either way).  The scan/hierarchical paths ignore it — their loop
+    bound is static per compile anyway."""
     n = pts.shape[-2]
     if use_pallas is None:
         # selection is bit-identical either way
@@ -138,7 +145,8 @@ def _dispatch_fps(pts, npoint, valid_mask, use_pallas):
         return fps_hierarchical(pts, npoint, valid_mask=valid_mask)
     if use_pallas:
         from threepu.ops.fps_pallas import fps_pallas
-        return fps_pallas(pts, npoint, valid_mask=valid_mask)
+        return fps_pallas(pts, npoint, valid_mask=valid_mask,
+                          m_eff=m_eff)
     return fps_indices(pts, npoint, valid_mask=valid_mask)
 
 

@@ -30,7 +30,7 @@ _INIT_DIST = 1e10
 _BIG_I32 = 2**30  # plain int: a jnp scalar would be a captured constant
 
 
-def _fps_kernel(m, s, seed_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
+def _fps_kernel(s, seed_ref, m_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
                 iter_ref, temp_ref):
     b = pl.program_id(0)
     xs = xs_ref[0]
@@ -62,16 +62,26 @@ def _fps_kernel(m, s, seed_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
         iter_ref[0] = jnp.where(lin == win, j + 1, iter_ref[0])
         return coords_of(win)
 
-    if m > 1:
-        jax.lax.fori_loop(1, m, body, coords_of(seed))
+    # the pick count is a PREFETCHED SCALAR, not a kernel constant: all
+    # callers that share a padded point-set shape share one kernel
+    # instance (one ~minute-scale axon compile) while each pays only
+    # its real sequential pick cost (the loop bound is dynamic)
+    jax.lax.fori_loop(1, m_ref[0], body, coords_of(seed))
 
 
 @partial(jax.jit, static_argnames=("m",))
 def fps_pallas(points: jax.Array, m: int,
-               valid_mask: Optional[jax.Array] = None) -> jax.Array:
+               valid_mask: Optional[jax.Array] = None,
+               m_eff=None) -> jax.Array:
     """FPS indices via the Pallas kernel.  Same contract as
     :func:`threepu.ops.fps.fps_indices`: ``points (B, N, 3)`` -> ``(B, m)``
     int32 in selection order, seeded at the first valid index.
+
+    ``m_eff`` (optional traced scalar <= m) bounds the sequential pick
+    loop dynamically: rows ``m_eff:`` of the result are arbitrary
+    unselected indices.  Callers that over-pick only to share one kernel
+    instance across padded shapes pass their real count here so the
+    padding costs no sequential steps.
     """
     from threepu.ops.fps import sanitize_points
 
@@ -97,8 +107,10 @@ def fps_pallas(points: jax.Array, m: int,
 
     plane_spec = pl.BlockSpec((1, s, _LANES), lambda i, *_: (i, 0, 0),
                               memory_space=pltpu.VMEM)
+    m_dyn = jnp.asarray(m if m_eff is None else m_eff,
+                        jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[plane_spec] * 4,
         out_specs=pl.BlockSpec((1, s, _LANES), lambda i, *_: (i, 0, 0),
@@ -106,13 +118,13 @@ def fps_pallas(points: jax.Array, m: int,
         scratch_shapes=[pltpu.VMEM((s, _LANES), jnp.float32)],
     )
     iter_field = pl.pallas_call(
-        partial(_fps_kernel, m, s),
+        partial(_fps_kernel, s),
         out_shape=jax.ShapeDtypeStruct((b, s, _LANES), jnp.int32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=22 * m * n_pad, bytes_accessed=5 * n_pad * 4,
             transcendentals=0),
-    )(seed, xs, ys, zs, temp0)
+    )(seed, m_dyn, xs, ys, zs, temp0)
 
     iter_field = iter_field.reshape(b, n_pad)[:, :n]
     order_key = jnp.where(iter_field > 0, iter_field, _BIG_I32)
