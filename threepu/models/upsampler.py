@@ -33,6 +33,16 @@ from threepu.models.layers import DenseConv, DenseEdgeConv, SampledDenseEdgeConv
 from threepu.ops import knn_group, fps_indices, gather_nd
 from threepu.ops.normalize import normalize_point_batch_cl
 
+#: trace-time toggle: pad the eval cascade's restitch/interlevel shapes
+#: to the deepest level's sizes so every level shares one Pallas kernel
+#: instance.  Default OFF — measured end-to-end on the v5e headline
+#: pipeline (round 3), natural per-level shapes win on BOTH axes:
+#: steady state 1.476 vs 1.593 s/shape (the shallow levels stop paying
+#: padded-width FPS/interlevel work) AND time-to-first-shape 54.6 vs
+#: 69.5 s (two small Mosaic instances compile faster than one
+#: deepest-level-sized instance).  See benchmarks/RESULTS.md round 3.
+SHARE_EVAL_INSTANCES = False
+
 Array = jax.Array
 
 
@@ -353,7 +363,7 @@ class Net(nn.Module):
         # are masked, so selection is unchanged).  TPU-only: on CPU the
         # scan path has no per-instance cost to amortize.
         merge_pad = pick_pad = prev_pad_m = 0
-        if jax.default_backend() == "tpu":
+        if SHARE_EVAL_INSTANCES and jax.default_backend() == "tpu":
             prev_size = num_point              # level-1 input size
             for l in range(2, num_levels + 1):
                 n_c = num_point * self.step_ratio ** (l - 1)

@@ -45,8 +45,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: trace-time toggle for the eval-path dispatch (ablations / debugging)
-ENABLED = True
+#: trace-time toggle for the eval-path dispatch.  Default OFF: measured
+#: end-to-end on the v5e headline pipeline (round 3), the kernel is a
+#: net loss vs XLA's fused schedule on BOTH axes — steady state 1.708
+#: vs 1.593 s/shape and time-to-first-shape 809 vs 69.5 s (each Mosaic
+#: instance pays a ~minute-scale axon remote compile).  The kernel is
+#: kept (with CPU-interpret parity tests and an on-chip check in
+#: benchmarks/tpu_checks.py) as the measured record of the approach:
+#: Mosaic's per-op overhead makes the fused chain op-count-bound at
+#: G=12, and the one-hot gather's 12->128 lane padding keeps the MXU
+#: work ~10x the algorithmic FLOPs — see benchmarks/RESULTS.md round 3.
+ENABLED = False
 
 #: run the kernel (interpreted) on non-TPU backends too — tests use
 #: this to drive the kernel through the full cascade on CPU
