@@ -41,13 +41,29 @@ def _fps_kernel(s, seed_ref, m_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (s, _LANES), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (s, _LANES), 1)
     lin = rows * _LANES + cols
+    cols_row = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
+    # winner bookkeeping touches ONE (1, 128) sublane row, not the whole
+    # field: at headline sizes (N=240k, m=80k picks for the final
+    # restitch) the full-field coords_of / iter-stamp formulation spent
+    # over half of each pick's VMEM traffic extracting three scalars and
+    # writing one element
     def coords_of(i):
-        sel = (lin == i).astype(jnp.float32)
-        return (jnp.sum(xs * sel), jnp.sum(ys * sel), jnp.sum(zs * sel))
+        row = i // _LANES
+        sel = (cols_row == i % _LANES).astype(jnp.float32)
+        return (jnp.sum(xs_ref[0, pl.ds(row, 1), :] * sel),
+                jnp.sum(ys_ref[0, pl.ds(row, 1), :] * sel),
+                jnp.sum(zs_ref[0, pl.ds(row, 1), :] * sel))
+
+    def stamp(i, val):
+        row = i // _LANES
+        old = iter_ref[0, pl.ds(row, 1), :]
+        iter_ref[0, pl.ds(row, 1), :] = jnp.where(
+            cols_row == i % _LANES, val, old)
 
     seed = seed_ref[b]
-    iter_ref[0] = jnp.where(lin == seed, jnp.int32(1), jnp.int32(0))
+    iter_ref[0] = jnp.zeros((s, _LANES), jnp.int32)
+    stamp(seed, jnp.int32(1))
 
     def body(j, carry):
         cx, cy, cz = carry
@@ -59,7 +75,7 @@ def _fps_kernel(s, seed_ref, m_ref, xs_ref, ys_ref, zs_ref, temp0_ref,
         temp_ref[:] = t
         mx = jnp.max(t)
         win = jnp.min(jnp.where(t == mx, lin, _BIG_I32))
-        iter_ref[0] = jnp.where(lin == win, j + 1, iter_ref[0])
+        stamp(win, j + 1)
         return coords_of(win)
 
     # the pick count is a PREFETCHED SCALAR, not a kernel constant: all

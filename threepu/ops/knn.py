@@ -34,17 +34,21 @@ class KnnResult(NamedTuple):
 
 #: default selection backend: "exact" | "approx" | "auto".
 #: "auto" uses the TPU-optimized partial-reduce top-k
-#: (lax.approx_max_k, ~20x faster than exact top_k at N >= ~4k with
-#: measured recall > 0.99) only on TPU for large candidate sets and
-#: small k; everywhere else (CPU, training-sized sets) it stays exact.
+#: (lax.approx_max_k) only on TPU for large candidate sets (N >=
+#: 4096) with small k (<= 64); everywhere else it stays exact.
 #:
-#: DEVIATION FROM REFERENCE: the reference's kNN is always exact
-#: (``network/operations.py:207`` torch.topk).  Under "auto" on TPU,
-#: eval-time neighbour selection over merged point sets (N >= 4096) is
-#: approximate.  For strict parity runs, pin exact selection globally
-#: with :func:`set_knn_method` ("exact") or the CLI ``--knn_method``
-#: flag; the reference-parity harness does this.
-DEFAULT_METHOD = "auto"
+#: Default EXACT (round 3): the measured ablation at the headline
+#: config (benchmarks/e2e_quality.py --knn_ablation) shows "auto" and
+#: "exact" produce BIT-IDENTICAL output there — the pipeline's only
+#: N >= 4096 selections have k > 64 (seed grouping) or run in the
+#: interlevel Pallas kernel, so approx never engaged — and exact
+#: measured marginally FASTER end to end (1.516 vs 1.537 s/shape).
+#: Exact also matches the reference's always-exact selection
+#: (``network/operations.py:207`` torch.topk) on the remaining big-N
+#: small-k site (the k=2 outlier check on >= 4096-point shapes).
+#: "auto"/"approx" stay available for throughput-over-fidelity runs
+#: via :func:`set_knn_method` or the CLI ``--knn_method`` flag.
+DEFAULT_METHOD = "exact"
 APPROX_RECALL_TARGET = 0.95
 _APPROX_MIN_N = 4096
 _APPROX_MAX_K = 64
