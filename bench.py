@@ -18,6 +18,24 @@ import time
 import numpy as np
 
 
+def surface(n: int, key: int) -> np.ndarray:
+    """Modulated-sphere SURFACE point cloud (the family
+    benchmarks/train_demo.py trains on): kNN/FPS/duplicate statistics
+    of real surface data — gaussian noise never triggers dedup or the
+    outlier mask realistically (round-2 verdict)."""
+    r = np.random.default_rng(key)
+    pts = r.standard_normal((n, 3)).astype(np.float32)
+    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+    coef = r.standard_normal((4, 4)) * 0.12
+    mod = np.ones((n,), np.float32)
+    for i in range(4):
+        for j in range(4):
+            mod += (coef[i, j] * np.sin(i * pts[:, 0] * 3.1)
+                    * np.cos(j * pts[:, 1] * 3.1))
+    pts = pts * mod[:, None]
+    return pts / np.abs(pts).max()
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -30,9 +48,7 @@ def main() -> None:
     net = Net(max_up_ratio=16, step_ratio=2, knn=32, growth_rate=12,
               dense_n=3, max_num_point=312, fm_knn=5)
     rng = np.random.default_rng(0)
-    shape = rng.standard_normal((n_shape, 3)).astype(np.float32)
-    shape /= np.abs(shape).max()
-    xyz = jnp.asarray(shape)
+    xyz = jnp.asarray(surface(n_shape, 0))
     gt = jnp.asarray(
         rng.standard_normal((1, num_point * ratio, 3)).astype(np.float32))
     ex = jnp.asarray(
@@ -57,8 +73,7 @@ def main() -> None:
 
     times = []
     for i in range(3):
-        fresh = jnp.asarray(
-            rng.standard_normal((n_shape, 3)).astype(np.float32))
+        fresh = jnp.asarray(surface(n_shape, i + 1))
         t0 = time.perf_counter()
         run(fresh)
         times.append(time.perf_counter() - t0)

@@ -22,10 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _fresh_shape(rng, n):
+    """Modulated-sphere surface (bench.surface); the key comes from the
+    caller's rng stream so every call sees a fresh shape."""
     import jax.numpy as jnp
-    pts = rng.standard_normal((n, 3)).astype(np.float32)
-    pts /= np.abs(pts).max()
-    return jnp.asarray(pts)
+    from bench import surface
+    return jnp.asarray(surface(n, int(rng.integers(1 << 31))))
 
 
 def _full_net_params(seed=0):

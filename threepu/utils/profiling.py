@@ -22,6 +22,17 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+def trace_supported() -> bool:
+    """Whether ``jax.profiler.trace`` actually produces a trace here.
+    The axon TPU tunnel executes programs on a remote server, so the
+    local profiler observes nothing — callers should fall back to
+    manual stage timing (:class:`Stopwatch`,
+    ``benchmarks/profile_stages.py``)."""
+    import os
+
+    return "axon" not in os.environ.get("JAX_PLATFORMS", "").lower()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     import jax
