@@ -79,12 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "model.py:72 exactly (zero at max ratio)")
     p.add_argument("--chunk", type=int, default=8,
                    help="patch chunk size for inference memory bounding")
-    p.add_argument("--knn_method", default="auto",
+    p.add_argument("--knn_method", default="exact",
                    choices=["auto", "exact", "approx"],
-                   help="kNN selection backend: 'auto' uses approximate "
-                        "top-k on TPU for large candidate sets (recall "
-                        ">0.99 measured); the reference is always exact "
-                        "— pin 'exact' for strict parity runs")
+                   help="kNN selection backend (default exact, matching "
+                        "the reference's torch.topk — measured zero-cost "
+                        "and bit-identical to 'auto' at the headline "
+                        "config, RESULTS.md round 3); 'auto' switches to "
+                        "approximate top-k on TPU for large candidate "
+                        "sets with small k")
     p.add_argument("--bucket", type=int,
                    help="point-count bucket quantum for mixed-size test "
                         "sets: shapes are padded+masked to the next "
@@ -271,9 +273,8 @@ def run_vis(flags, result_dir: str) -> None:
 
 def main(argv: Optional[list] = None) -> None:
     flags = build_parser().parse_args(argv)
-    if flags.knn_method != "auto":
-        from threepu.ops.knn import set_knn_method
-        set_knn_method(flags.knn_method)
+    from threepu.ops.knn import set_knn_method
+    set_knn_method(flags.knn_method)
     result_dir = result_path_for(flags)
     if flags.phase == "test":
         assert flags.ckpt is not None, "--ckpt required for test"
