@@ -37,12 +37,23 @@ def ceil_to(x, m):
 
 def mxu_flops(m, k, n, lane=128, sub=8):
     """FLOPs the MXU actually performs for an (m,k)@(k,n) matmul after
-    tile quantization."""
+    tile quantization.
+
+    CAVEAT (measured, round 3): quantizing m only to the sublane (8)
+    under-counts small-m matmuls.  A matmul streaming m=12..16 rows
+    cannot amortize the 128x128 weight-tile loads, so on chip m
+    effectively quantizes toward the full 128 tile as well — the
+    "transposed" edge-conv layout this model predicted ~5x faster
+    measured ~11% SLOWER at the production op (70.0 -> 78.0 ms,
+    benchmarks/ec_layout_bench.py).  Treat small-m entries of this
+    model as lower bounds.
+    """
     return 2 * ceil_to(m, sub) * ceil_to(k, lane) * ceil_to(n, lane)
 
 
 def pipeline_model(n_shape=5000, ratio=16, num_point=312, chunk=8,
-                   knn=32, g=12, dense_n=3, fm_knn=5, c_in=24):
+                   knn=32, g=12, dense_n=3, fm_knn=5, c_in=24,
+                   layout="lanes"):
     import math
 
     num_levels = int(math.log2(ratio))
@@ -85,11 +96,21 @@ def pipeline_model(n_shape=5000, ratio=16, num_point=312, chunk=8,
             knn_hbm += b * n * n * 4 * 2            # D write+read (top_k)
             # gather (one-hot in VMEM): algorithmic = data movement only
             ec_alg += b * rows * g * 2              # zn + pt add
-            ec16 += b * 2 * mxu_flops(rows, n_pad, g)   # hi/lo passes
-            # chain matmuls (f32)
             nmm = dense_n * (dense_n - 1) // 2
             ec_alg += b * nmm * rows * g * g * 2
-            ec32 += b * nmm * mxu_flops(rows, g, g)
+            if layout == "lanes":
+                # (rows, M) @ (M, G): G=12 output lanes pad to 128
+                ec16 += b * 2 * mxu_flops(rows, n_pad, g)   # hi/lo passes
+                ec32 += b * nmm * mxu_flops(rows, g, g)
+            else:
+                # transposed chain (layers.FUSED_LAYOUT): state (G, rows)
+                # keeps the big axis on lanes — gather is (G, M)@(M, rows)
+                # over 3 exact bf16 planes, chain matmuls (G, G)@(G, rows).
+                # NOTE: this sublane-quantized count is NOT achievable on
+                # chip (m=12..16 can't amortize MXU weight loads — see
+                # the mxu_flops caveat); measured slower than "lanes"
+                ec16 += b * 3 * mxu_flops(g, n_pad, rows)
+                ec32 += b * nmm * mxu_flops(g, g, rows)
             # per-point terms (z, pt0, accs) + prep convs
             ec_alg += b * n * c_in * g * 2 * (dense_n + 2)
             ec32 += b * (dense_n + 2) * mxu_flops(n, c_in, g)
@@ -126,9 +147,14 @@ def pipeline_model(n_shape=5000, ratio=16, num_point=312, chunk=8,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wall_s", type=float, default=None)
+    ap.add_argument("--layout", choices=("lanes", "transposed"),
+                    default="lanes",
+                    help="edge-conv chain layout (layers.FUSED_LAYOUT); "
+                    "the transposed prediction does NOT hold on chip — "
+                    "see mxu_flops caveat")
     args = ap.parse_args()
 
-    stages = pipeline_model()
+    stages = pipeline_model(layout=args.layout)
     tot_alg = sum(s[1] for s in stages)
     tot16 = sum(s[2] for s in stages)
     tot32 = sum(s[3] for s in stages)

@@ -281,3 +281,34 @@ class TestFusedEdgeConv:
         np.testing.assert_array_equal(np.asarray(idxf), np.asarray(idxn))
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yn),
                                    atol=2e-5)
+
+    def test_transposed_layout_equals_naive(self, rng, monkeypatch):
+        """The transposed-chain layout (state (B, G, N*k), big axis on
+        MXU lanes — see layers.FUSED_LAYOUT) computes the same function
+        as both the lanes-layout fused schedule and the naive one."""
+        import threepu.models.layers as lm
+        x = jnp.asarray(rng.standard_normal((2, 40, 24)).astype(np.float32))
+        fused = DenseEdgeConv(growth_rate=12, n=3, k=8, fused=True)
+        naive = DenseEdgeConv(growth_rate=12, n=3, k=8, fused=False)
+        params = fused.init({"params": jax.random.PRNGKey(0)}, x)
+        monkeypatch.setattr(lm, "FUSED_LAYOUT", "lanes")
+        yl, idxl = fused.apply(params, x)
+        monkeypatch.setattr(lm, "FUSED_LAYOUT", "transposed")
+        yt, idxt = fused.apply(params, x)
+        yn, idxn = naive.apply(params, x)
+        np.testing.assert_array_equal(np.asarray(idxt), np.asarray(idxn))
+        np.testing.assert_allclose(np.asarray(yt), np.asarray(yl),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(yt), np.asarray(yn),
+                                   atol=2e-5)
+        # gradients flow through the transposed chain identically
+        def loss(p, layout):
+            monkeypatch.setattr(lm, "FUSED_LAYOUT", layout)
+            y, _ = fused.apply(p, x)
+            return jnp.sum(y ** 2)
+        gl = jax.grad(loss)(params, "lanes")
+        gt = jax.grad(loss)(params, "transposed")
+        for a, b in zip(jax.tree_util.tree_leaves(gl),
+                        jax.tree_util.tree_leaves(gt)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

@@ -216,6 +216,38 @@ class TestGather:
             np.asarray(gm.batched_gather(pts, idx, method="take")),
             np.asarray(seg))
 
+    def test_transposed_matches_take(self, rng):
+        """batched_gather_t (the transposed-output one-hot gather used
+        by the edge-conv chain) must be bit-exact vs the native gather:
+        the f32 operand splits into three bf16 planes that sum back
+        exactly, and each one-hot product is a single 1.0 * x term."""
+        from threepu.ops.gather import batched_gather, batched_gather_t
+        pts = jnp.asarray(rng.standard_normal((3, 40, 12)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 40, (3, 17, 5)), jnp.int32)
+        ref = batched_gather(pts, idx, method="take")        # (3,17,5,12)
+        ref_t = np.swapaxes(np.asarray(ref).reshape(3, 85, 12), -1, -2)
+        for method in ("take", "onehot"):
+            out = batched_gather_t(pts, idx, method=method)
+            assert out.shape == (3, 12, 85)
+            np.testing.assert_array_equal(np.asarray(out), ref_t)
+        # bf16 points: single-pass path
+        pts16 = pts.astype(jnp.bfloat16)
+        np.testing.assert_array_equal(
+            np.asarray(batched_gather_t(pts16, idx, method="onehot")),
+            np.swapaxes(np.asarray(batched_gather(
+                pts16, idx, method="take")).reshape(3, 85, 12), -1, -2))
+
+    def test_transposed_segmented(self, rng, monkeypatch):
+        """Segmentation along the lane axis stays bit-equal across
+        ragged segment boundaries."""
+        import threepu.ops.gather as gm
+        pts = jnp.asarray(rng.standard_normal((2, 40, 6)), jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 40, (2, 13, 3)), jnp.int32)
+        whole = gm.batched_gather_t(pts, idx, method="onehot")
+        monkeypatch.setattr(gm, "_ONEHOT_MAX_BYTES", 500)
+        seg = gm.batched_gather_t(pts, idx, method="onehot")
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(seg))
+
     def test_gradcheck(self, rng):
         """Finite-difference check mirroring the reference gradcheck
         (network/operations.py:354-359)."""

@@ -21,6 +21,7 @@ transposed, squeezed 1x1 conv weight (see ``threepu.io.checkpoint``).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -28,9 +29,26 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from threepu.ops import knn_group, fps_indices, gather_nd
-from threepu.ops.gather import batched_gather
+from threepu.ops.gather import batched_gather, batched_gather_t
 
 Array = jax.Array
+
+#: Layout of the fused dense-edge-conv per-neighbour chain.
+#: "lanes" (default): state is (B, N, k, G) with the G=12 channel axis
+#: minor — every gather/chain matmul pads 12 lanes to the MXU's 128.
+#: "transposed": state is (B, G, N*k) with the big N*k axis on lanes —
+#: the one-hot gather issues as (G, M) @ (M, N*k) and the 12x12 chain
+#: matmuls as (12, 12) @ (12, N*k).  A sublane-quantized FLOP model
+#: predicts ~8-12x less issued MXU work, but ON CHIP it measures ~11%
+#: SLOWER at the production op — 78.0 vs 70.0 ms chained x20
+#: (benchmarks/ec_layout_bench.py, RESULTS.md round 3): a matmul
+#: streaming only m=12..16 rows cannot amortize the 128x128 MXU
+#: weight loads, so small-m matmuls effectively quantize m up to the
+#: full tile — both layouts issue the same hardware work and the
+#: transposed one adds transpose/broadcast traffic.  Same math up to
+#: float reassociation; parameters are shared (TestFusedEdgeConv).
+#: Override per-process with THREEPU_FUSED_LAYOUT (benchmark A/B knob).
+FUSED_LAYOUT = os.environ.get("THREEPU_FUSED_LAYOUT", "lanes")
 
 
 def _xavier_uniform():
@@ -208,6 +226,9 @@ class DenseEdgeConv(nn.Module):
             pooled = pooled.astype(x.dtype)
             return jnp.concatenate([pooled, x], axis=-1), idx
 
+        if FUSED_LAYOUT == "transposed":
+            return self._fused_t(x, idx, w, b)
+
         wc, wd = w[0][:c], w[0][c:]
         z = x @ wd                                       # (B, N, G)
         zn = batched_gather(z, idx)                      # (B, N, k, G)
@@ -226,6 +247,50 @@ class DenseEdgeConv(nn.Module):
             gs.append(y if i == self.n - 1 else nn.relu(y))
 
         pooled = [jnp.max(gi, axis=-2) for gi in reversed(gs)]
+        return jnp.concatenate(pooled + [x], axis=-1), idx
+
+    def _fused_t(self, x: Array, idx: Array, w, b) -> Tuple[Array, Array]:
+        """Transposed-layout evaluation of the fused schedule.
+
+        Identical math to the "lanes" schedule (up to float
+        reassociation); the per-neighbour state lives as ``(B, G, N*k)``
+        with the big axis on MXU lanes, so neither the one-hot gather
+        nor the 12x12 chain matmuls pay the G -> 128 lane quantization
+        (see ``FUSED_LAYOUT``).
+        """
+        g = self.growth_rate
+        c = x.shape[-1]
+        k = idx.shape[-1]
+        n_pts = x.shape[-2]
+
+        def rep_t(t: Array) -> Array:
+            # (..., N, G) -> (..., G, N*k): column n repeated k times,
+            # matching the gather's flat index order r = n*k + j
+            tt = jnp.swapaxes(t, -1, -2)
+            tt = jnp.broadcast_to(tt[..., None], tt.shape + (k,))
+            return tt.reshape(tt.shape[:-2] + (n_pts * k,))
+
+        wc, wd = w[0][:c], w[0][c:]
+        z = x @ wd                                       # (B, N, G)
+        zn_t = batched_gather_t(z, idx)                  # (B, G, N*k)
+        point_term = x @ (wc - wd) + b[0]                # (B, N, G)
+        gs = [nn.relu(zn_t + rep_t(point_term))]         # g_0
+
+        for i in range(1, self.n):
+            # kernel rows: [g_{i-1}, ..., g_0, x]
+            acc = rep_t(x @ w[i][g * i:] + b[i])         # per-point part
+            per_k = None
+            for j in range(i):
+                wj = w[i][g * j: g * (j + 1)]            # rows of g_{i-1-j}
+                term = jnp.einsum("gh,...gr->...hr", wj, gs[i - 1 - j])
+                per_k = term if per_k is None else per_k + term
+            y = per_k + acc
+            gs.append(y if i == self.n - 1 else nn.relu(y))
+
+        pooled = []
+        for gi in reversed(gs):
+            gi = gi.reshape(gi.shape[:-1] + (n_pts, k))  # (..., G, N, k)
+            pooled.append(jnp.swapaxes(jnp.max(gi, axis=-1), -1, -2))
         return jnp.concatenate(pooled + [x], axis=-1), idx
 
 

@@ -67,6 +67,72 @@ def _onehot_qualifies(points, idx) -> bool:
             and points.shape[-2] <= _ONEHOT_MAX_M)
 
 
+def _split_bf16_planes(x: jax.Array):
+    """Exact 3-plane bf16 decomposition of an f32 array: the planes sum
+    to ``x`` bit-exactly (8+8+8 mantissa bits cover f32's 24)."""
+    h1 = x.astype(jnp.bfloat16)
+    r1 = x - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return h1, h2, h3
+
+
+def batched_gather_t(points: jax.Array, idx: jax.Array,
+                     method: str = "auto") -> jax.Array:
+    """Transposed-output row gather: ``points (..., M, C)``,
+    ``idx (..., X1, ..., Xk)`` -> ``(..., C, X1*...*Xk)``.
+
+    Same selection as :func:`batched_gather`, but the one-hot matmul is
+    issued as ``(C, M) @ (M, X)`` so the large flattened index axis
+    lands on the MXU *lane* dimension instead of the C-wide output.
+    For the edge-conv chain gathers (C = growth = 12, X = N*k ~ 1e4)
+    the lane-quantized issued FLOPs drop ~8x vs the ``(X, M) @ (M, C)``
+    orientation whose 12 output lanes pad to 128
+    (``benchmarks/roofline.py``).
+
+    Exact for f32: ``points`` is split into three bf16 planes (8+8+8
+    mantissa bits = f32's 24) and each plane rides one default-precision
+    MXU pass against the exactly-representable 0/1 one-hot — 3 passes
+    vs the 6 of a HIGHEST-precision f32 matmul.  bf16 inputs take a
+    single pass.
+    """
+    batch_shape = points.shape[:-2]
+    extra_elems = 1
+    for d in idx.shape[len(batch_shape):]:
+        extra_elems *= d
+    flat = idx.reshape(batch_shape + (extra_elems,))
+    if method == "auto":
+        method = ("onehot" if jax.default_backend() == "tpu"
+                  and _onehot_qualifies(points, idx) else "take")
+    if method != "onehot":
+        out = jnp.take_along_axis(points, flat[..., None], axis=-2)
+        return jnp.swapaxes(out, -1, -2)
+    m = points.shape[-2]
+    p_t = jnp.swapaxes(points, -1, -2)                    # (..., C, M)
+    if points.dtype == jnp.dtype(jnp.bfloat16):
+        planes = (p_t,)
+    else:
+        planes = _split_bf16_planes(p_t)
+    import numpy as _np
+    batch = int(_np.prod(batch_shape, dtype=_np.int64)) or 1
+    # segment the lane axis: the (batch, M, seg) bf16 one-hot operand
+    # stays a bounded HBM transient at any batch size
+    seg = max(1, _ONEHOT_MAX_BYTES // max(1, batch * m * 2))
+    n_seg = -(-extra_elems // seg)
+    pieces = []
+    for s in range(n_seg):
+        part = flat[..., s * seg:(s + 1) * seg]
+        oh = (jnp.arange(m)[:, None] == part[..., None, :]
+              ).astype(jnp.bfloat16)                      # (..., M, seg)
+        acc = None
+        for h in planes:
+            term = jnp.matmul(h.astype(jnp.bfloat16), oh,
+                              preferred_element_type=jnp.float32)
+            acc = term if acc is None else acc + term
+        pieces.append(acc.astype(points.dtype))
+    return pieces[0] if n_seg == 1 else jnp.concatenate(pieces, axis=-1)
+
+
 def batched_gather(points: jax.Array, idx: jax.Array,
                    method: str = "auto") -> jax.Array:
     """Row gather with arbitrary trailing index shape and NO broadcast
