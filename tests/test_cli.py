@@ -85,7 +85,9 @@ class TestCliTestPhase:
              "--up_ratio", "4", "--knn", "4", "--growth_rate", "4",
              "--dense_n", "2", "--test_data", str(tmp_path / "*.xyz"),
              "--result_dir", str(tmp_path / "out"), "--chunk", "4"],
-            capture_output=True, text=True, env=env, timeout=900)
+            # generous: compiles from scratch in a subprocess and the
+            # host is often shared with a TPU feed loop + xdist workers
+            capture_output=True, text=True, env=env, timeout=1800)
         assert out.returncode == 0, out.stderr[-2000:]
         # outputs nest under the input's parent dir name (main.py:342-344)
         folder = os.path.basename(str(tmp_path))
