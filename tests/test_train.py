@@ -153,6 +153,58 @@ class TestTrainLoop:
             assert gt_out is not None and gt_out.ndim == 3
             assert error is not None and np.isfinite(error)
 
+    def test_loop_under_mesh_matches_serial(self, h5_file, tmp_path):
+        """``train_loop`` with ``cfg.mesh`` (the multi-chip DP path)
+        must produce the same parameters and error log as the serial
+        loop — same batches (step-keyed prefetch), the XLA all-reduce
+        over the replicated-params/sharded-batch step is numerically
+        the single-device step (TestShardedTrainStep), and the deferred
+        loss flush handles sharded device scalars."""
+        from threepu.parallel import make_mesh
+
+        base = dict(
+            h5_data=h5_file, num_shape_point=32, num_point=12,
+            batch_size=2, up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+            dense_n=2, max_num_point=12, stage_steps=4, max_epoch=1,
+            model_dir=str(tmp_path), lr_init=1e-3, ckpt_epochs=100)
+        serial, log_s = train_loop(TrainConfig(**base), max_steps=6)
+        sharded, log_m = train_loop(
+            TrainConfig(**base, mesh=make_mesh(2)), max_steps=6)
+        assert log_s.keys() == log_m.keys()
+        for k in log_s:
+            assert np.isclose(log_s[k], log_m[k], rtol=1e-5), (
+                k, log_s[k], log_m[k])
+        for a, b in zip(jax.tree_util.tree_leaves(serial.params),
+                        jax.tree_util.tree_leaves(sharded.params)):
+            # all-reduce vs single-device summation order drifts a few
+            # ulp per step; 6 Adam steps compound it to ~1e-5
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_deferred_loss_fetch_identical_error_log(self, h5_file,
+                                                     tmp_path):
+        """The running-mean error log batches its device->host loss
+        fetches every ``log_steps`` (a per-step fetch through the TPU
+        tunnel halves training throughput); replaying the buffered
+        updates in order must be bit-identical to fetching every step
+        (``log_steps=1``) at every flush boundary case: mid-cadence
+        stop (7 steps, cadence 5) and exact-cadence stop (10 of 5)."""
+        logs = {}
+        for cadence, steps in ((1, 7), (5, 7), (1, 10), (5, 10)):
+            cfg = TrainConfig(
+                h5_data=h5_file, num_shape_point=32, num_point=12,
+                batch_size=2, up_ratio=4, step_ratio=2, knn=4,
+                growth_rate=4, dense_n=2, max_num_point=12,
+                stage_steps=4, max_epoch=1, model_dir=str(tmp_path),
+                lr_init=1e-3, ckpt_epochs=100, log_steps=cadence)
+            _, error_log = train_loop(cfg, max_steps=steps)
+            logs[(cadence, steps)] = dict(error_log)
+        for steps in (7, 10):
+            a, b = logs[(1, steps)], logs[(5, steps)]
+            assert a.keys() == b.keys()
+            for k in a:
+                assert a[k] == b[k], (steps, k, a[k], b[k])
+
     def test_pth_checkpoint_format(self, h5_file, tmp_path):
         """ckpt_format='pth' writes reference-named, reference-loadable
         files ({label}_{epoch}.pth)."""

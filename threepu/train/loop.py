@@ -147,6 +147,26 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
     start_epoch = step // steps_per_epoch
     error_log = defaultdict(float)
 
+    # Deferred loss fetches: the reference updates its running-mean
+    # error log every step (model.py:74-76), which on torch is a free
+    # host read but through the axon tunnel costs a device round trip
+    # per step — measured 17 steps/s against the 42.7 steps/s pipelined
+    # ceiling (benchmarks/RESULTS.md).  Buffer the device scalars and
+    # fetch them as ONE stacked transfer every ``log_steps`` (and at
+    # epoch/return boundaries), replaying the running-mean updates in
+    # order — bit-identical error_log, ~no per-step sync.
+    pending = []                     # (key, weight, denom, device_cd)
+
+    def flush():
+        if not pending:
+            return None
+        vals = np.asarray(jax.numpy.stack([p[3] for p in pending]))
+        for (k, w, denom, _), v in zip(pending, vals):
+            prev = error_log[k]
+            error_log[k] = prev + (float(v) * w - prev) / denom
+        pending.clear()
+        return float(vals[-1])
+
     def ratio_for(s: int) -> int:
         st = curriculum_state(s, cfg.stage_steps, cfg.up_ratio,
                               cfg.step_ratio, cfg.cd_threshold)
@@ -161,6 +181,7 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
     for epoch in range(start_epoch, cfg.max_epoch):
         for _ in range(steps_per_epoch):
             if max_steps is not None and step >= max_steps:
+                flush()
                 return state, error_log
             (inp, gt), ratio, _ = next(prefetch)
             st = curriculum_state(step, cfg.stage_steps, cfg.up_ratio,
@@ -189,12 +210,14 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             w = loss_weight(ratio, cfg.up_ratio, cfg.step_ratio,
                             cfg.weight_mode)
             k = f"cd_loss_x{ratio}"
-            prev = error_log[k]
-            error_log[k] = prev + (float(cd) * w - prev) / (step + 1)
-            if log_fn is not None and step % cfg.log_steps == 0:
-                log_fn(step, ratio, float(cd), state, (inp, gt),
-                       pred=pred, gt_out=gt_out, error=error_log[k])
+            pending.append((k, w, step + 1, cd))
+            if step % cfg.log_steps == 0:
+                last_cd = flush()
+                if log_fn is not None:
+                    log_fn(step, ratio, last_cd, state, (inp, gt),
+                           pred=pred, gt_out=gt_out, error=error_log[k])
 
+        flush()
         logger.info(
             f"epoch {epoch}: " + ", ".join(
                 f"{k}={v:.6f}" for k, v in sorted(error_log.items()))
