@@ -32,6 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+import jax
+
+# the env var alone is NOT honored when a site hook registers an
+# accelerator plugin at interpreter start (the axon tunnel does);
+# jax.config wins as long as no backend is initialized yet
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from train_demo import synth_dataset

@@ -272,6 +272,17 @@ def run_vis(flags, result_dir: str) -> None:
 
 
 def main(argv: Optional[list] = None) -> None:
+    # Honor JAX_PLATFORMS explicitly: environments whose site hooks
+    # register an accelerator plugin at interpreter start (the axon TPU
+    # tunnel does) can override the env var's backend selection, so a
+    # caller launching ``JAX_PLATFORMS=cpu threepu ...`` would silently
+    # initialize — and, if the tunnel is unreachable, hang on — the
+    # accelerator.  ``jax.config`` wins over the plugin hook as long as
+    # it is set before the first backend initialization, i.e. here.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+        jax.config.update("jax_platforms", env_platforms)
     flags = build_parser().parse_args(argv)
     from threepu.ops.knn import set_knn_method
     set_knn_method(flags.knn_method)
