@@ -5,6 +5,15 @@ architecture constants (SURVEY §6 north-star: where is the remaining
 headroom and which optimization retires it), prints a per-stage table,
 and — given a measured wall time — the achieved fraction of each roof.
 
+``--train`` models the TRAINING step instead (batch 16 x 312-pt
+patches at x16, ``train/model.py::train_step``): every level runs at
+the fixed (B, max_num_point) patch shape (``Net._forward_train``
+re-patches to one random sub-patch per element, ``upsampler.py:39-58``
+in the reference), plus the interlevel skip at M = 312, the gt-pairing
+top-k, the Chamfer loss, and the backward pass (matmuls x3 fwd+bwd,
+one-hot gathers x2 — the scatter transpose is the same matmul, kNN
+selection has no gradient).
+
 Two FLOP counts are reported:
 
 - *algorithmic*: the math the model definition requires;
@@ -144,9 +153,86 @@ def pipeline_model(n_shape=5000, ratio=16, num_point=312, chunk=8,
     return stages
 
 
+def train_step_model(batch=16, num_point=312, ratio=16, knn=32, g=12,
+                     dense_n=3, fm_knn=5, c_in=24):
+    """Implemented-FLOPs model of one optimizer step at the headline
+    train config.  Backward multipliers: matmul terms x3 (forward + dX
+    + dW), one-hot gathers x2 (the VJP's scatter-add IS the transposed
+    one-hot matmul, ``ops/gather.py``), kNN/top-k selection x1 (argmin
+    selections carry no gradient), elementwise ~x2 folded into HBM.
+    """
+    import math
+
+    num_levels = int(math.log2(ratio))
+    b, n = batch, num_point
+    rows = n * knn
+    n_pad = ceil_to(n, 128)
+    stages = []
+
+    def add(name, alg, impl16, impl32, hbm):
+        stages.append((name, alg, impl16, impl32, hbm))
+
+    ec_alg = ec16 = ec32 = ec_hbm = 0
+    knn_alg = knn16 = knn_hbm = 0
+    dec_alg = dec32 = dec_hbm = 0
+    il_alg = il16 = 0
+    nmm = dense_n * (dense_n - 1) // 2
+    for lvl in range(1, num_levels + 1):
+        for _ in range(4):  # 4 edge convs per level
+            # kNN graph build: selection only, no backward
+            knn_alg += b * 2 * n * n * c_in
+            knn16 += b * mxu_flops(n, c_in, n) * 3      # HIGH precision
+            knn_hbm += b * n * n * 4 * 2
+            # neighbour gather fwd + scatter-transpose bwd (x2)
+            ec_alg += b * rows * g * 2 * 2
+            ec16 += b * 2 * mxu_flops(rows, n_pad, g) * 2
+            # chain matmuls fwd + bwd (x3)
+            ec_alg += b * nmm * rows * g * g * 2 * 3
+            ec32 += b * nmm * mxu_flops(rows, g, g) * 3
+            # per-point terms + prep convs, fwd + bwd
+            ec_alg += b * n * c_in * g * 2 * (dense_n + 2) * 3
+            ec32 += b * (dense_n + 2) * mxu_flops(n, c_in, g) * 3
+            # activation chain residency (fwd save + bwd read)
+            ec_hbm += b * rows * (dense_n * g + knn) * 4 * 2
+        if lvl > 1:
+            # interlevel skip at M = n: selection (no grad) + feature
+            # gather (264-wide, one-hot fwd + scatter bwd) + weighting
+            il_alg += b * 2 * n * n * 3
+            il16 += b * mxu_flops(n, 3, n) * 3
+            il_alg += b * n * fm_knn * 264 * 2 * 2
+            il16 += b * 2 * mxu_flops(n * fm_knn, n_pad, 264) * 2
+            # gt re-pairing: one seed per element, top-k over the gt set
+            gt_n = num_point * ratio
+            knn_alg += b * 2 * gt_n * 3
+        # decode MLP on n*2 expanded points, fwd + bwd
+        dn = n * 2
+        for ci, co in ((266, 128), (128, 128), (128, 64), (64, 3)):
+            dec_alg += b * dn * ci * co * 2 * 3
+            dec32 += b * mxu_flops(dn, ci, co) * 3
+        dec_hbm += b * dn * (266 + 128 + 128 + 64 + 3) * 4 * 3
+
+    add("edgeconv", ec_alg, ec16, ec32, ec_hbm)
+    add("knn_select", knn_alg, knn16, 0, knn_hbm)
+    add("interlevel", il_alg, il16, 0, 0)
+    add("decode", dec_alg, 0, dec32, dec_hbm)
+    # Chamfer loss: pred (b, 624) vs gt (b, 1248) distance matrix,
+    # HIGHEST precision, + its backward (coordinate differences)
+    pn, gn = num_point * 2, num_point * 4
+    cd_alg = b * 2 * pn * gn * 3 * 2
+    cd16 = b * mxu_flops(pn, 3, gn) * 3 * 2
+    add("chamfer", cd_alg, cd16, 0, b * pn * gn * 4)
+    # Adam on ~0.3M params: 8 HBM passes over params+moments
+    add("adam", 304_000 * 10, 0, 0, 304_000 * 4 * 8)
+    return stages
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--wall_s", type=float, default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="model the training step (one optimizer step "
+                    "at batch 16 x 312 pts x16) instead of the eval "
+                    "pipeline; pass --wall_s of a measured step")
     ap.add_argument("--layout", choices=("lanes", "transposed"),
                     default="lanes",
                     help="edge-conv chain layout (layers.FUSED_LAYOUT); "
@@ -154,7 +240,8 @@ def main():
                     "see mxu_flops caveat")
     args = ap.parse_args()
 
-    stages = pipeline_model(layout=args.layout)
+    stages = (train_step_model() if args.train
+              else pipeline_model(layout=args.layout))
     tot_alg = sum(s[1] for s in stages)
     tot16 = sum(s[2] for s in stages)
     tot32 = sum(s[3] for s in stages)
