@@ -54,6 +54,24 @@ class TestFlags:
             ["--num_point", "10", "--result_dir", "/tmp/x"])
         assert result_path_for(f) == "/tmp/x"
 
+    def test_main_pins_platform_from_env(self, monkeypatch):
+        """main() must re-assert JAX_PLATFORMS through jax.config before
+        any backend init: site hooks that register accelerator plugins
+        at interpreter start override env-var backend selection, so a
+        ``JAX_PLATFORMS=cpu threepu ...`` invocation would otherwise
+        silently initialize (or hang on) the accelerator."""
+        from threepu.cli import main
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        # unset-able config state: record and restore around main()
+        before = jax.config.jax_platforms
+        try:
+            jax.config.update("jax_platforms", None)
+            with pytest.raises(SystemExit):
+                main(["--phase", "bogus"])
+            assert jax.config.jax_platforms == "cpu"
+        finally:
+            jax.config.update("jax_platforms", before)
+
 
 class TestCliTestPhase:
     def test_end_to_end_tiny(self, tmp_path, rng):
