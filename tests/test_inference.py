@@ -110,6 +110,30 @@ class TestUpsamplePointCloud:
                        chunk=4, bucket=64)
         assert upsample_point_cloud._cache_size() == before
 
+    def test_hierarchical_restitch(self, net_and_params, shape):
+        """restitch_groups>1 swaps the final merge FPS for the
+        Morton-stratified grouped variant: the output must be a valid
+        point SET (every row an actual merged-cloud point, no
+        duplicates beyond the merge's own) that stays close to the
+        exact-restitch output — only the final selection differs, the
+        cascade is shared."""
+        net, params = net_and_params
+        exact = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(shape), 2, num_point=16,
+            num_out=256, chunk=4))
+        hier = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(shape), 2, num_point=16,
+            num_out=256, chunk=4, restitch_groups=2))
+        assert hier.shape == exact.shape
+        assert np.isfinite(hier).all()
+        # both select from the same merged cloud: every hierarchical
+        # pick must match SOME exact-cloud point's neighborhood scale
+        d = np.linalg.norm(hier[:, None, :] - exact[None], axis=-1)
+        nn = d.min(axis=1)
+        spacing = np.sort(np.linalg.norm(
+            exact[:, None] - exact[None], axis=-1), axis=1)[:, 1].mean()
+        assert nn.mean() < 2.0 * spacing
+
 
 class TestShardedInference:
     def test_matches_single_device(self, net_and_params, shape):

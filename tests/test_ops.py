@@ -400,7 +400,7 @@ class TestHierarchicalFps:
         orig = pl.pallas_call
         with mock.patch.object(fp.pl, "pallas_call",
                                lambda *a, **k: orig(*a, interpret=True, **k)):
-            idx = np.asarray(fps_hierarchical(pts, 100, group_max=256))
+            idx = np.asarray(fps_hierarchical(pts, 100, group_max=256, use_pallas=True))
         assert idx.shape == (1, 100)
         assert len(np.unique(idx[0])) == 100
         assert idx.min() >= 0 and idx.max() < 1000
@@ -423,7 +423,7 @@ class TestHierarchicalFps:
             # ~n_valid/G valid points, so all m picks are valid
             idx = np.asarray(fps_hierarchical(
                 jnp.asarray(pts), 120, valid_mask=mask,
-                group_max=256, sort="morton"))
+                group_max=256, sort="morton", use_pallas=True))
             assert idx.shape == (1, 120)
             assert idx.max() < 600
             assert len(np.unique(idx[0])) == 120
@@ -434,7 +434,7 @@ class TestHierarchicalFps:
             # exhausted — the documented limit of unsorted grouping)
             idx = np.asarray(fps_hierarchical(
                 jnp.asarray(pts), 120, valid_mask=mask,
-                group_max=256, sort="none"))
+                group_max=256, sort="none", use_pallas=True))
             assert idx[0, :90].max() < 600
             assert len(np.unique(idx[0, :90])) == 90
 
@@ -461,7 +461,7 @@ class TestHierarchicalFps:
         with mock.patch.object(fp.pl, "pallas_call",
                                lambda *a, **k: orig(*a, interpret=True, **k)):
             cov_m = coverage(np.asarray(fps_hierarchical(
-                jnp.asarray(cloud), 128, group_max=256, sort="morton")))
+                jnp.asarray(cloud), 128, group_max=256, sort="morton", use_pallas=True)))
             cov_n = coverage(np.asarray(fps_hierarchical(
-                jnp.asarray(cloud), 128, group_max=256, sort="none")))
+                jnp.asarray(cloud), 128, group_max=256, sort="none", use_pallas=True)))
         assert cov_m < cov_n

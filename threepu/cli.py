@@ -95,6 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "identical to exact-size compiles; try 1024)")
     p.add_argument("--profile_dir",
                    help="write a jax.profiler trace of the first shape")
+    p.add_argument("--restitch_groups", type=int, default=1,
+                   help="1 (default): exact final re-stitch FPS, the "
+                        "reference semantics.  G>1: Morton-stratified "
+                        "hierarchical FPS over G spatial groups — ~G-fold "
+                        "faster re-stitch at a measured ~1-4%% coverage-"
+                        "radius cost (benchmarks/fps_quality.py); the "
+                        "same approximation very large merges use "
+                        "unconditionally")
     return p
 
 
@@ -195,7 +203,8 @@ def run_test(flags, result_dir: str) -> None:
                         chunk=flags.chunk, jitter=flags.jitter,
                         jitter_sigma=flags.jitter_sigma,
                         jitter_max=flags.jitter_max,
-                        drop_out=flags.drop_out, bucket=flags.bucket)
+                        drop_out=flags.drop_out, bucket=flags.bucket,
+                        restitch_groups=flags.restitch_groups)
             else:
                 # the axon tunnel silently drops profiler traces
                 # (CLAUDE.md) — record a manual compile-vs-steady wall
@@ -209,7 +218,8 @@ def run_test(flags, result_dir: str) -> None:
                     chunk=flags.chunk, jitter=flags.jitter,
                     jitter_sigma=flags.jitter_sigma,
                     jitter_max=flags.jitter_max,
-                    drop_out=flags.drop_out, bucket=flags.bucket)
+                    drop_out=flags.drop_out, bucket=flags.bucket,
+                        restitch_groups=flags.restitch_groups)
                 import json
                 with open(os.path.join(flags.profile_dir,
                                        "profile.json"), "w") as f:
@@ -229,7 +239,8 @@ def run_test(flags, result_dir: str) -> None:
                 patch_num_ratio=flags.patch_num_ratio, chunk=flags.chunk,
                 jitter=flags.jitter, jitter_sigma=flags.jitter_sigma,
                 jitter_max=flags.jitter_max, drop_out=flags.drop_out,
-                bucket=flags.bucket)
+                bucket=flags.bucket,
+                        restitch_groups=flags.restitch_groups)
         logger.info(f"total time: {time.time() - start:.3f}s "
                     f"({up.shape[0]} points)")
         for w in [w for w in pending_writes if w.done()]:

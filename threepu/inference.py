@@ -24,7 +24,7 @@ import numpy as np
 
 from threepu.models import Net
 from threepu.ops import knn_group, gather_nd
-from threepu.ops.fps import _dispatch_fps
+from threepu.ops.fps import _dispatch_fps, fps_hierarchical
 from threepu.ops.normalize import normalize_point_batch_cl
 
 Array = jax.Array
@@ -51,14 +51,15 @@ def plan_patches(num_shape_point: int, num_point: int,
 @partial(jax.jit,
          static_argnames=("net", "ratio", "num_point", "num_out",
                           "patch_num_ratio", "chunk", "mesh",
-                          "axis_name"))
+                          "axis_name", "restitch_groups"))
 def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                          num_point: int, num_out: int,
                          patch_num_ratio: float = 3.0,
                          chunk: Optional[int] = None,
                          valid_n: Optional[Array] = None,
                          valid_patches: Optional[Array] = None,
-                         mesh=None, axis_name: str = "data") -> Array:
+                         mesh=None, axis_name: str = "data",
+                         restitch_groups: int = 1) -> Array:
     """Upsample one (normalized) shape.
 
     Args:
@@ -90,6 +91,15 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
         program with XLA-chosen shardings.  Every serial-path feature
         (bucketing, ``valid_n`` masking, outlier-masked sub-patching)
         applies identically — there is ONE pipeline.
+      restitch_groups: 1 (default) keeps the reference's exact final
+        FPS (``main.py:379-380``).  G > 1 runs the final re-stitch as
+        Morton-stratified hierarchical FPS over G spatial groups — the
+        same documented approximation large clouds use unconditionally
+        above :data:`~threepu.ops.fps.PALLAS_MAX_N` points (coverage
+        radius within ~1-4% of exact at G=2..8,
+        ``benchmarks/fps_quality.py``) — cutting the restitch's
+        sequential pick chain (and its wall-clock) ~G-fold.  Only the
+        final merge FPS is affected; seed selection stays exact.
 
     Returns:
       ``(num_out, 3)`` upsampled shape in the same normalized frame;
@@ -150,7 +160,12 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
         valid = (jnp.arange(padded)[:, None] < patch_limit)
         valid = jnp.broadcast_to(
             valid, (padded, num_point * ratio)).reshape(1, -1)
-    final_idx = _dispatch_fps(merged, num_out, valid, None)
+    if restitch_groups > 1:
+        group_max = -(-merged.shape[1] // restitch_groups)
+        final_idx = fps_hierarchical(merged, num_out, valid_mask=valid,
+                                     group_max=group_max)
+    else:
+        final_idx = _dispatch_fps(merged, num_out, valid, None)
     return gather_nd(merged, final_idx)[0]
 
 
@@ -168,7 +183,8 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
                    drop_out: float = 1.0,
                    seed: int = 0,
                    bucket: Optional[int] = None,
-                   mesh=None
+                   mesh=None,
+                   restitch_groups: int = 1
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing convenience mirroring ``test()``'s per-file flow
     (``main.py:341-389``): optional FPS drop-out, normalize, optional
@@ -217,12 +233,13 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
             n_b * ratio, patch_num_ratio=patch_num_ratio, chunk=chunk,
             valid_n=jnp.asarray(n_real, jnp.int32),
             valid_patches=jnp.asarray(true_patches, jnp.int32),
-            mesh=mesh)
+            mesh=mesh, restitch_groups=restitch_groups)
         up = np.asarray(up)[:num_out]
     else:
         up = np.asarray(upsample_point_cloud(
             net, params, jnp.asarray(data), ratio, num_point, num_out,
-            patch_num_ratio=patch_num_ratio, chunk=chunk, mesh=mesh))
+            patch_num_ratio=patch_num_ratio, chunk=chunk, mesh=mesh,
+            restitch_groups=restitch_groups))
     up = up * furthest + centroid
     data = data * furthest + centroid
     return data, up

@@ -189,7 +189,8 @@ def morton_codes(points: jax.Array, bits: int = 10,
 def fps_hierarchical(points: jax.Array, m: int,
                      valid_mask: Optional[jax.Array] = None,
                      group_max: int = PALLAS_MAX_N,
-                     sort: str = "morton") -> jax.Array:
+                     sort: str = "morton",
+                     use_pallas: Optional[bool] = None) -> jax.Array:
     """FPS for clouds too large for the VMEM-resident kernel.
 
     Splits the cloud into G contiguous groups, runs the Pallas kernel
@@ -258,7 +259,16 @@ def fps_hierarchical(points: jax.Array, m: int,
 
     grouped = pts.reshape(b * groups, per, c)
     gmask = mask.reshape(b * groups, per)
-    idx = fps_pallas(grouped, m_per, valid_mask=gmask)   # (b*G, m_per)
+    # per-group FPS, groups folded into the batch axis; the Pallas
+    # kernel and the XLA scan select bit-identically (tpu_checks), so
+    # non-TPU backends (e.g. the restitch_groups knob under CPU tests)
+    # just take the scan
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        idx = fps_pallas(grouped, m_per, valid_mask=gmask)  # (b*G, m_per)
+    else:
+        idx = fps_indices(grouped, m_per, valid_mask=gmask)
     offset = (jnp.arange(b * groups, dtype=jnp.int32) % groups) * per
     idx = (idx + offset[:, None]).reshape(b, groups, m_per)
     # Interleave picks round-robin across groups before truncating:
