@@ -33,27 +33,23 @@ import numpy as np
 
 
 def synth_dataset(path: str, n_shapes: int = 20, seed: int = 7) -> str:
-    """Reference-scale multi-resolution shapes with learnable structure:
-    unit spheres modulated by per-shape low-frequency radial fields (so
-    the upsampler has a surface to learn, unlike pure noise)."""
-    import h5py
+    """Reference-scale multi-resolution shapes with learnable structure
+    (delegates to the library generator, ``threepu/data/synthetic.py``).
+    The resolutions and tag are parsed from ``path``'s filename — the
+    same convention ``load_h5_data`` reads — so the file content always
+    matches its name (e.g. held-out sets named ``held_...``)."""
+    import re
 
-    resolutions = (5000, 10000, 20000, 40000, 80000)
-    rng = np.random.default_rng(seed)
-    coef = rng.standard_normal((n_shapes, 4, 4)) * 0.12
-    with h5py.File(path, "w") as f:
-        for res in resolutions:
-            pts = rng.standard_normal((n_shapes, res, 3)).astype(np.float32)
-            pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
-            # radial modulation: r = 1 + sum_ij c_ij sin(i x) cos(j y)
-            mod = np.ones((n_shapes, res), np.float32)
-            for i in range(4):
-                for j in range(4):
-                    mod += (coef[:, i, j, None]
-                            * np.sin(i * pts[..., 0] * 3.1)
-                            * np.cos(j * pts[..., 1] * 3.1))
-            f.create_dataset(
-                f"poisson_{res}", data=pts * mod[..., None])
+    from threepu.data.synthetic import write_synthetic_h5
+
+    base = os.path.basename(path)
+    resolutions = sorted(int(x) for x in re.findall(r"\d+", base[:-5]))
+    tag = re.findall(r"_([A-Za-z]+)_", base)[-1]
+    out = write_synthetic_h5(os.path.dirname(path) or ".",
+                             n_shapes=n_shapes, seed=seed,
+                             resolutions=resolutions, tag=tag)
+    if os.path.abspath(out) != os.path.abspath(path):
+        os.replace(out, path)
     return path
 
 

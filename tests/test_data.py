@@ -79,6 +79,45 @@ class TestLoadH5:
         assert labels[4].shape[1] == 128
 
 
+class TestSyntheticData:
+    def test_generated_file_loads(self, tmp_path):
+        """The synthetic generator's filename/dataset conventions must
+        round-trip through load_h5_data — that is its whole contract
+        (the reference ships no training data; this is the out-of-the-
+        box path)."""
+        from threepu.data.synthetic import write_synthetic_h5
+
+        path = write_synthetic_h5(str(tmp_path), n_shapes=3, seed=11,
+                                  resolutions=(64, 128, 256))
+        assert path.endswith(
+            "train_poisson_64_poisson_128_poisson_256.hdf5")
+        data, labels, is_2d = load_h5_data(path, 64, 4, 2)
+        assert data.shape == (3, 64, 3)
+        assert sorted(labels) == [2, 4]
+        assert labels[4].shape == (3, 256, 3)
+        assert not is_2d
+        # every resolution samples the SAME surface: the dense cloud
+        # must lie close to the sparse one (same radial field)
+        d = np.linalg.norm(data[:, :, None, :]
+                           - labels[4][:, None, ::8, :], axis=-1)
+        assert d.min(axis=(1, 2)).max() < 0.2
+
+    def test_cli_entry(self, tmp_path):
+        """python -m threepu.data.synthetic <dir> prints the path."""
+        import io
+        from contextlib import redirect_stdout
+        from threepu.data.synthetic import main
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            main([str(tmp_path), "--shapes", "2",
+                  "--resolutions", "32", "64"])
+        out = buf.getvalue().strip()
+        assert out.endswith("train_poisson_32_poisson_64.hdf5")
+        with h5py.File(out, "r") as f:
+            assert f["poisson_64"].shape == (2, 64, 3)
+
+
 class TestDeviceDataset:
     def test_sample_shapes(self, h5_file):
         ds = DeviceDataset(h5_file, 32, 16, batch_size=4, up_ratio=16)
