@@ -70,6 +70,43 @@ def check_fps():
     check("(2,4992)->624 masked", np.array_equal(i_ref, i_pal))
 
 
+def check_hier_restitch():
+    """Hierarchical restitch (the --restitch_groups knob) at the
+    headline merge size: picks must be valid, distinct, and its
+    coverage radius within a small factor of exact FPS's (the
+    fps_quality bound is ~1-4% at G=2..8; assert a loose 15%)."""
+    from threepu.ops.fps import fps_hierarchical, _dispatch_fps
+    from threepu.ops.gather import gather_nd
+
+    print("hierarchical restitch vs exact FPS (240k -> 80k, G=4)")
+    rng = np.random.default_rng(3)
+    # clustered surface-ish cloud (uniform noise has no grouping risk)
+    centers = rng.standard_normal((600, 3)).astype(np.float32)
+    cloud = (centers[:, None, :] + rng.standard_normal(
+        (600, 400, 3)).astype(np.float32) * 0.05).reshape(1, -1, 3)
+    cloud = jnp.asarray(cloud)
+    m = 80000
+
+    def coverage(idx):
+        sel = gather_nd(cloud, jnp.asarray(idx))
+        from threepu.ops.chamfer import nn_distance
+        d, _, _, _ = nn_distance(cloud, sel)
+        return float(jnp.sqrt(jnp.max(d)))
+
+    i_h = np.asarray(fps_hierarchical(
+        cloud, m, group_max=-(-cloud.shape[1] // 4)))
+    assert i_h.shape == (1, m)
+    distinct = len(np.unique(i_h[0])) == m
+    in_range = i_h.min() >= 0 and i_h.max() < cloud.shape[1]
+    cov_h = coverage(i_h)
+    i_e = np.asarray(_dispatch_fps(cloud, m, None, None))
+    cov_e = coverage(i_e)
+    check("G=4 picks distinct+valid", distinct and in_range)
+    check("G=4 coverage within 15% of exact",
+          cov_h < 1.15 * cov_e,
+          f"hier {cov_h:.4e} vs exact {cov_e:.4e}")
+
+
 def check_nn():
     """Pallas NN-distance sweep vs the chunked XLA path."""
     from threepu.ops.chamfer import _nn_one_way
@@ -230,6 +267,7 @@ def main():
     check_interlevel()
     check_edgeconv()
     check_bucketing()
+    check_hier_restitch()
     print(f"total {time.time() - t0:.0f}s")
     if FAILURES:
         print("TPU CHECKS: FAIL", FAILURES)
