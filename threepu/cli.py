@@ -169,6 +169,15 @@ def run_test(flags, result_dir: str) -> None:
     params = _load_params(flags, net)
     num_point = flags.num_point or int(
         flags.num_shape_point * flags.drop_out)
+    if num_point > 1024:
+        # the reference derives NUM_POINT = num_shape_point * drop_out
+        # when --num_point is omitted (main.py:87), i.e. ONE patch the
+        # size of the whole shape — almost always a forgotten flag, and
+        # at 5000+ points it compiles a multi-gigabyte cascade program
+        logger.warn(
+            f"patch size num_point={num_point} (whole shape?) — the "
+            f"canonical eval uses --num_point 312; this will be "
+            f"extremely slow and memory-hungry")
 
     files = sorted(glob(flags.test_data, recursive=True))
     if not files:
