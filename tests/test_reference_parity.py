@@ -216,6 +216,49 @@ class TestLayerParity:
                                    rtol=2e-4, atol=2e-5)
 
 
+class TestAdaptiveLevelParity:
+    def test_forward(self, ref):
+        """AdaptiveLevel (P10, ``network/upsampler.py:377-512`` — unused
+        by the reference ``main.py`` but part of the capability surface)
+        against the actual reference class with identical weights via
+        the export bridge: the 48->16->1 SampledDenseEdgeConv pyramid,
+        the spatial-only interpolate, the [-1,1] code grid, and the
+        denormalizing decode must all agree.
+
+        knn=8, not the class default 16: layer4 queries the 16 points
+        layer3 left, and a k+1=17 feature-kNN over 16 candidates is
+        out of range in BOTH implementations (torch.topk would raise
+        too — a latent bug in the reference's unused class at its own
+        defaults)."""
+        from threepu.models.upsampler import AdaptiveLevel
+        from threepu.testing.reference_bridge import reference_state_dict
+
+        hp = dict(dense_n=3, growth_rate=12, knn=8, fm_knn=5)
+        mod = AdaptiveLevel(**hp)
+        rng = np.random.default_rng(9)
+        xyz = rng.standard_normal((2, 256, 3)).astype(np.float32)
+        params = mod.init(jax.random.PRNGKey(3), jnp.asarray(xyz),
+                          64)["params"]
+        out_j, feat_j = mod.apply({"params": params}, jnp.asarray(xyz),
+                                  64)
+
+        state = reference_state_dict(params)
+        ref_mod = ref.upsampler.AdaptiveLevel(**hp)
+        tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in state.items()}
+        missing, unexpected = ref_mod.load_state_dict(tensors,
+                                                      strict=True)
+        assert not missing and not unexpected
+        with torch.no_grad():
+            out_t, feat_t = ref_mod(_t(xyz), 64)
+
+        assert out_t.shape == (2, 3, 64)
+        np.testing.assert_allclose(_n(out_t), np.asarray(out_j),
+                                   rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(_n(feat_t), np.asarray(feat_j),
+                                   rtol=2e-4, atol=2e-5)
+
+
 # ------------------------------------------------------------------ loss
 class TestChamferParity:
     @pytest.mark.parametrize("threshold", [None, 2.0])
