@@ -216,6 +216,46 @@ class TestLayerParity:
                                    rtol=2e-4, atol=2e-5)
 
 
+class TestVisCaptureParity:
+    def test_intermediates_match(self, nets):
+        """The vis phase's captured intermediates (P15): every layer
+        feature and kNN graph the reference's ``net.vis`` dict collects
+        (``upsampler.py:167-184,285-314``) must come out of our sown
+        ``collect_intermediates`` with the same values and the same
+        per-patch index offsetting (``main.py:319-327``)."""
+        from threepu.vis import collect_intermediates
+
+        net, params, ref_net = nets
+        rng = np.random.default_rng(11)
+        patches = rng.standard_normal((3, 64, 3)).astype(np.float32)
+
+        ref_net.eval()
+        with torch.no_grad():
+            ref_net(_t(patches), ratio=2, phase="vis")
+        ref_vis = ref_net.vis
+
+        ours = collect_intermediates(net, params, jnp.asarray(patches), 2)
+
+        checked = 0
+        for key, (_, v) in ref_vis.items():
+            if "." not in key:        # the bare per-level (xyz, feat)
+                continue
+            name = key.split(".", 1)[1]
+            mine = ours[f"level_1.{name}"]
+            if "nnIdx" in key:
+                # reference: (P, N, k) + offsets; ours: (1, P*N, k)
+                np.testing.assert_array_equal(
+                    v.numpy().reshape(1, -1, v.shape[-1]), mine)
+            else:
+                # reference: (P, C, N); ours: (1, P*N, C)
+                ref_cl = v.numpy().transpose(0, 2, 1).reshape(
+                    1, -1, v.shape[1])
+                np.testing.assert_allclose(ref_cl, mine, rtol=2e-4,
+                                           atol=2e-5)
+            checked += 1
+        assert checked >= 9  # 5 feature layers + 4 kNN graphs
+
+
 class TestAdaptiveLevelParity:
     def test_forward(self, ref):
         """AdaptiveLevel (P10, ``network/upsampler.py:377-512`` — unused
