@@ -116,6 +116,43 @@ class TestCliTestPhase:
         assert inp.shape == (64, 3)
 
 
+class TestTrainPhase:
+    def test_train_end_to_end_tiny(self, tmp_path):
+        """Full CLI train phase through a subprocess: generate a
+        synthetic reference-format h5 (the out-of-the-box path), run
+        one epoch at a tiny config, and assert the epoch-0 full-state
+        checkpoint lands under log_dir/id with a restorable param
+        tree."""
+        from threepu.data.synthetic import write_synthetic_h5
+
+        h5 = write_synthetic_h5(str(tmp_path), n_shapes=3, seed=5,
+                                resolutions=(32, 64, 128))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache",
+                   JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.3",
+                   PYTHONPATH=os.pathsep.join(
+                       [os.path.dirname(os.path.dirname(__file__))]
+                       + os.environ.get("PYTHONPATH", "").split(
+                           os.pathsep)))
+        out = subprocess.run(
+            [sys.executable, "-m", "threepu.cli", "--phase", "train",
+             "--h5_data", h5, "--num_shape_point", "32",
+             "--num_point", "12", "--up_ratio", "4", "--knn", "4",
+             "--growth_rate", "4", "--dense_n", "2", "--fm_knn", "3",
+             "--batch_size", "2", "--stage_steps", "100",
+             "--max_epoch", "1", "--lr_init", "0.001",
+             "--log_dir", str(tmp_path / "log"), "--id", "t"],
+            capture_output=True, text=True, env=env, timeout=1800)
+        assert out.returncode == 0, (out.stdout[-800:], out.stderr[-2000:])
+        ckpt = tmp_path / "log" / "t" / "model_0.npz"
+        assert ckpt.exists(), list((tmp_path / "log").rglob("*"))
+        from threepu.io import load_checkpoint
+        restored, step = load_checkpoint(str(ckpt))
+        assert step == 600  # one epoch = 300 * batch_size steps
+        leaves = jax.tree_util.tree_leaves(restored["params"])
+        assert leaves and all(np.isfinite(l).all() for l in leaves)
+
+
 class TestVis:
     def test_collect_intermediates(self, rng):
         net = Net(max_up_ratio=2, step_ratio=2, knn=4, growth_rate=4,
