@@ -1,0 +1,118 @@
+"""Communication-structure tests for the sharded paths.
+
+The multichip design (SURVEY.md §2.3) is patch-data-parallelism: the
+batch axis shards over ICI and the ONLY intended communication is the
+gradient reduction onto the replicated parameters.  These tests compile
+the sharded programs on the virtual 8-device mesh and inspect the
+post-SPMD HLO, so a formulation change that silently forces batch
+replication (e.g. an op GSPMD cannot partition) fails CI instead of
+nullifying multichip scaling.
+
+Round-3 finding locked in here: ``lax.top_k`` has no batch-axis
+partitioning rule in this XLA — every kNN selection in the sharded
+train step forced an all-gather of its (B, N, N) distance-matrix
+operand (12 activation-sized all-gathers per step, after which compute
+ran replicated).  The partition-safe stable-sort selection
+(``threepu.ops.knn.partition_safe``) selects identically with zero
+collectives.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from threepu.models import Net
+from threepu.ops.knn import knn_group, partition_safe
+from threepu.parallel import make_mesh, make_sharded_train_step
+from threepu.train.model import create_train_state, make_optimizer
+
+_COLLECTIVE = re.compile(
+    r"= (\S+) (all-reduce|all-gather|reduce-scatter|all-to-all|"
+    r"collective-permute)\(")
+
+
+def collectives(hlo_text):
+    """[(opcode, result_shape_str, op_name)] for every collective
+    instruction in a compiled HLO module."""
+    out = []
+    for line in hlo_text.splitlines():
+        m = _COLLECTIVE.search(line)
+        if not m:
+            continue
+        name = re.search(r'op_name="([^"]*)"', line)
+        out.append((m.group(2), m.group(1), name.group(1) if name else ""))
+    return out
+
+
+def _tiny_net():
+    return Net(max_up_ratio=4, step_ratio=2, knn=4, growth_rate=4,
+               dense_n=2, max_num_point=16, fm_knn=3)
+
+
+class TestSortSelection:
+    def test_matches_top_k(self, rng):
+        pts = jnp.asarray(rng.standard_normal((3, 40, 8)).astype(np.float32))
+        q = jnp.asarray(rng.standard_normal((3, 10, 8)).astype(np.float32))
+        exact = knn_group(q, pts, 7, method="exact")
+        sort = knn_group(q, pts, 7, method="sort")
+        np.testing.assert_array_equal(np.asarray(exact.idx),
+                                      np.asarray(sort.idx))
+        np.testing.assert_array_equal(np.asarray(exact.dist2),
+                                      np.asarray(sort.dist2))
+
+    def test_matches_top_k_with_ties_and_penalties(self, rng):
+        # duplicate rows create exact distance ties AND engage the
+        # sentinel penalty; both backends must break ties identically
+        base = rng.standard_normal((2, 12, 3)).astype(np.float32)
+        base[:, 6:] = base[:, :6]  # half the rows are duplicates
+        pts = jnp.asarray(base)
+        exact = knn_group(pts, pts, 5, unique=True, method="exact")
+        sort = knn_group(pts, pts, 5, unique=True, method="sort")
+        np.testing.assert_array_equal(np.asarray(exact.idx),
+                                      np.asarray(sort.idx))
+
+    def test_partition_safe_context(self, rng):
+        pts = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32))
+        plain = knn_group(pts, pts, 4)
+        with partition_safe():
+            ctx = knn_group(pts, pts, 4)
+        np.testing.assert_array_equal(np.asarray(plain.idx),
+                                      np.asarray(ctx.idx))
+
+
+class TestShardedTrainCollectives:
+    @pytest.fixture()
+    def compiled_text(self):
+        rng = np.random.default_rng(0)
+        net = _tiny_net()
+        inp = jnp.asarray(rng.standard_normal((8, 16, 3)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((8, 64, 3)).astype(np.float32))
+        tx = make_optimizer(1e-3)
+        state = create_train_state(net, jax.random.PRNGKey(0), inp, gt, 4,
+                                   tx=tx)
+        mesh = make_mesh(8)
+        sharded = make_sharded_train_step(net, tx, mesh)
+        step = [c.cell_contents for c in sharded.__closure__
+                if callable(c.cell_contents)][0]
+        lowered = step.lower(state, jax.random.PRNGKey(5), inp, gt, 4,
+                             None, "floored", False)
+        return lowered.compile().as_text()
+
+    def test_no_topk_forced_replication(self, compiled_text):
+        """No kNN selection may all-gather its operand: GSPMD cannot
+        partition TopK, so any top_k reaching the partitioner means the
+        partition-safe selection got bypassed."""
+        offenders = [c for c in collectives(compiled_text)
+                     if "top_k" in c[2]]
+        assert offenders == [], offenders
+
+    def test_collective_budget(self, compiled_text):
+        """The step's total communication stays at the designed scale:
+        the gradient/loss reduction plus (CPU-dispatch only) one
+        gather-VJP scatter-add pair — NOT one resharding per kNN site
+        (13 collectives before the partition-safe selection)."""
+        colls = collectives(compiled_text)
+        assert len(colls) <= 4, colls

@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk", type=int, default=8,
                    help="patch chunk size for inference memory bounding")
     p.add_argument("--knn_method", default="exact",
-                   choices=["auto", "exact", "approx"],
+                   choices=["auto", "exact", "approx", "sort"],
                    help="kNN selection backend (default exact, matching "
                         "the reference's torch.topk — measured zero-cost "
                         "and bit-identical to 'auto' at the headline "

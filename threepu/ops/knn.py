@@ -53,7 +53,47 @@ APPROX_RECALL_TARGET = 0.95
 _APPROX_MIN_N = 4096
 _APPROX_MAX_K = 64
 
-_KNN_METHODS = ("auto", "exact", "approx")
+_KNN_METHODS = ("auto", "exact", "approx", "sort")
+
+#: trace-time flag: when True, "exact" selection lowers to a stable
+#: full sort + slice instead of ``lax.top_k``.  GSPMD cannot partition
+#: TopK over a sharded batch axis — every top_k in a sharded-jit
+#: program forces an all-gather of its operand (measured: 12
+#: activation-sized all-gathers in the sharded train step, one per kNN
+#: site) — while ``lax.sort`` partitions cleanly over non-sort
+#: dimensions with zero collectives.  The stable ascending sort selects
+#: the same k indices in the same order as top_k (ties break to the
+#: lowest index in both).  Enabled by the sharded train step
+#: (:func:`threepu.parallel.make_sharded_train_step`) at trace time.
+_PARTITION_SAFE = False
+
+
+class partition_safe:
+    """Context manager: trace kNN selections with the partition-safe
+    sort backend (see ``_PARTITION_SAFE``)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _PARTITION_SAFE
+        self.saved = _PARTITION_SAFE
+        _PARTITION_SAFE = self.enabled
+        return self
+
+    def __exit__(self, *exc):
+        global _PARTITION_SAFE
+        _PARTITION_SAFE = self.saved
+        return False
+
+
+def _sort_select(d: jax.Array, k: int):
+    """Stable ascending sort + slice: top_k-equivalent selection that
+    GSPMD can partition over batch axes (no collectives)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    sd, si = jax.lax.sort((d, iota), num_keys=1, dimension=-1,
+                          is_stable=True)
+    return sd[..., :k], si[..., :k]
 
 
 def set_knn_method(method: str) -> None:
@@ -129,14 +169,18 @@ def knn_group(
     if method == "approx":
         neg_top, idx = jax.lax.approx_max_k(
             -d, k, recall_target=recall_target or APPROX_RECALL_TARGET)
+        dist2 = -neg_top
+    elif method == "sort" or (method == "exact" and _PARTITION_SAFE):
+        dist2, idx = _sort_select(d, k)
     elif method == "exact":
         neg_top, idx = jax.lax.top_k(-d, k)  # (..., M, k)
+        dist2 = -neg_top
     else:
         raise ValueError(f"unknown knn method {method!r}")
     idx = idx.astype(jnp.int32)
     # callers that only need indices (fused edge conv) skip the gather
     nbrs = batched_gather(points, idx) if with_neighbors else None
-    return KnnResult(neighbors=nbrs, idx=idx, dist2=-neg_top)
+    return KnnResult(neighbors=nbrs, idx=idx, dist2=dist2)
 
 
 def group_knn(k: int, query: jax.Array, points: jax.Array,

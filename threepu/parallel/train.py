@@ -16,6 +16,7 @@ import jax
 import optax
 
 from threepu.losses import chamfer_loss
+from threepu.ops.knn import partition_safe
 from threepu.train.model import TrainState, loss_weight
 
 
@@ -45,8 +46,14 @@ def make_sharded_train_step(net, tx, mesh, axis_name: str = "data"):
             cd = chamfer_loss(pred, gt_out, threshold=threshold)
             return cd * weight, (cd, pred, gt_out)
 
-        (_, (cd, pred, gt_out)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        # GSPMD cannot partition lax.top_k over the sharded batch axis:
+        # every kNN selection would all-gather its (B, N, N) operand
+        # (measured, tests/test_collectives.py).  Trace with the
+        # partition-safe stable-sort selection instead — identical
+        # indices, zero forward collectives.
+        with partition_safe():
+            (_, (cd, pred, gt_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(new_params, new_opt, state.step + 1)
