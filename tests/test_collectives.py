@@ -116,3 +116,36 @@ class TestShardedTrainCollectives:
         (13 collectives before the partition-safe selection)."""
         colls = collectives(compiled_text)
         assert len(colls) <= 4, colls
+
+
+class TestShardedInferenceCollectives:
+    @pytest.fixture()
+    def compiled_text(self):
+        from threepu.inference import upsample_point_cloud
+        rng = np.random.default_rng(0)
+        net = _tiny_net()
+        shape = jnp.asarray(rng.standard_normal((128, 3)).astype(np.float32))
+        params = net.init({"params": jax.random.PRNGKey(0),
+                           "patch": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 16, 3)), 4, jnp.zeros((1, 64, 3)),
+                          train=True)["params"]
+        mesh = make_mesh(8)
+        lowered = upsample_point_cloud.lower(net, params, shape, 2, 16,
+                                             256, chunk=4, mesh=mesh)
+        return lowered.compile().as_text()
+
+    def test_single_merge_all_gather(self, compiled_text):
+        """The sharded pipeline's communication is the textbook shape:
+        shard the cascade, all-gather the upsampled patches ONCE at the
+        merge, restitch replicated.  Before the sharding constraints in
+        inference.py, GSPMD propagated the patch sharding into the
+        restitch FPS pick loop (two tiny collectives per pick = 2 *
+        num_out ICI latencies) and backwards into the seed FPS."""
+        colls = collectives(compiled_text)
+        assert len(colls) <= 2, colls
+        assert all(c[0] == "all-gather" for c in colls), colls
+
+    def test_no_collectives_in_pick_loops(self, compiled_text):
+        offenders = [c for c in collectives(compiled_text)
+                     if "while" in c[2] or "fps" in c[2] or "top_k" in c[2]]
+        assert offenders == [], offenders

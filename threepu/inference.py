@@ -127,6 +127,11 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                                (padded - num_patches,) + patches.shape[1:])
         patches = jnp.concatenate([patches, pad], axis=0)
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        patches = jax.lax.with_sharding_constraint(
+            patches, NamedSharding(mesh, P()))
+
     norm, centroid, radius = normalize_point_batch_cl(patches)
 
     def run_chunks(p, patches, count):                # (count*chunk, K, 3)
@@ -150,6 +155,19 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
     up = up * radius + centroid                               # denormalize
 
     merged = up.reshape(1, padded * num_point * ratio, 3)
+    if mesh is not None:
+        # Merge = ONE all-gather of the denormalized upsampled patches
+        # (the designed collective, SURVEY §2.3); the restitch FPS then
+        # runs replicated.  Without this constraint GSPMD propagates
+        # the patch sharding (via the sharded centroid/radius of the
+        # denormalize) into the FPS pick loop and emits two tiny
+        # collectives PER PICK (num_out of them — 160k ICI ops at the
+        # headline).  The earlier `patches` constraint stops the
+        # backward leg into the seed FPS (replicated -> sharded at
+        # `norm` is a local slice, no communication).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        merged = jax.lax.with_sharding_constraint(
+            merged, NamedSharding(mesh, P()))
     valid = None
     patch_limit = None
     if valid_patches is not None:
@@ -166,7 +184,15 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                                      group_max=group_max)
     else:
         final_idx = _dispatch_fps(merged, num_out, valid, None)
-    return gather_nd(merged, final_idx)[0]
+    out = gather_nd(merged, final_idx)[0]
+    if mesh is not None:
+        # pin the result replicated: the jit output sharding is
+        # otherwise unconstrained and GSPMD propagates its chosen
+        # sharding BACKWARD into the restitch FPS pick loop (two tiny
+        # collectives per pick)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        out = jax.lax.with_sharding_constraint(out, NamedSharding(mesh, P()))
+    return out
 
 
 def bucket_size(n: int, quantum: int = 1024) -> int:
