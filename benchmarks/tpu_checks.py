@@ -256,6 +256,27 @@ def check_bucketing():
           f"chamfer={cd:.2e} (spacing scale {spacing:.2e})")
 
 
+def check_sort_select():
+    """Partition-safe sort selection vs lax.top_k ON CHIP: identical
+    indices at production shapes, incl. duplicate-penalty ties (the
+    sharded train step traces every kNN with the sort backend —
+    threepu/ops/knn.py::partition_safe)."""
+    from threepu.ops.knn import knn_group
+
+    print("sort selection vs top_k (exact index equality)")
+    rng = np.random.default_rng(3)
+    for bsz, n, k, dup in [(16, 312, 33, False), (1, 4992, 16, False),
+                           (8, 624, 33, True)]:
+        base = rng.standard_normal((bsz, n, 3)).astype(np.float32)
+        if dup:
+            base[:, n // 2:] = base[:, :n // 2]  # exact ties + penalties
+        pts = jnp.asarray(base)
+        e = knn_group(pts, pts, k, unique=dup, method="exact")
+        s = knn_group(pts, pts, k, unique=dup, method="sort")
+        check(f"({bsz},{n}) k={k} dup={dup}",
+              np.array_equal(np.asarray(e.idx), np.asarray(s.idx)))
+
+
 def main():
     print("backend:", jax.default_backend())
     if jax.default_backend() != "tpu":
@@ -263,6 +284,7 @@ def main():
         return 2
     t0 = time.time()
     check_fps()
+    check_sort_select()
     check_nn()
     check_interlevel()
     check_edgeconv()
