@@ -19,20 +19,15 @@ import numpy as np
 
 
 def surface(n: int, key: int) -> np.ndarray:
-    """Modulated-sphere SURFACE point cloud (the family
-    benchmarks/train_demo.py trains on): kNN/FPS/duplicate statistics
-    of real surface data — gaussian noise never triggers dedup or the
-    outlier mask realistically (round-2 verdict)."""
+    """Modulated-sphere SURFACE point cloud (the family every training
+    benchmark uses — ``threepu/data/synthetic.py``): kNN/FPS/duplicate
+    statistics of real surface data — gaussian noise never triggers
+    dedup or the outlier mask realistically (round-2 verdict)."""
+    from threepu.data.synthetic import synthetic_surface
+
     r = np.random.default_rng(key)
-    pts = r.standard_normal((n, 3)).astype(np.float32)
-    pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
     coef = r.standard_normal((4, 4)) * 0.12
-    mod = np.ones((n,), np.float32)
-    for i in range(4):
-        for j in range(4):
-            mod += (coef[i, j] * np.sin(i * pts[:, 0] * 3.1)
-                    * np.cos(j * pts[:, 1] * 3.1))
-    pts = pts * mod[:, None]
+    pts = synthetic_surface(n, coef, r)
     return pts / np.abs(pts).max()
 
 

@@ -40,17 +40,19 @@ def synth_dataset(path: str, n_shapes: int = 20, seed: int = 7) -> str:
     matches its name (e.g. held-out sets named ``held_...``)."""
     import re
 
-    from threepu.data.synthetic import write_synthetic_h5
+    from threepu.data.synthetic import (DEFAULT_RESOLUTIONS,
+                                        write_synthetic_h5)
 
     base = os.path.basename(path)
     resolutions = sorted(int(x) for x in re.findall(r"\d+", base[:-5]))
-    tag = re.findall(r"_([A-Za-z]+)_", base)[-1]
-    out = write_synthetic_h5(os.path.dirname(path) or ".",
-                             n_shapes=n_shapes, seed=seed,
-                             resolutions=resolutions, tag=tag)
-    if os.path.abspath(out) != os.path.abspath(path):
-        os.replace(out, path)
-    return path
+    tags = re.findall(r"_([A-Za-z]+)_", base)
+    # names without the convention (e.g. "held.hdf5") get the defaults
+    return write_synthetic_h5(os.path.dirname(path) or ".",
+                              n_shapes=n_shapes, seed=seed,
+                              resolutions=resolutions or
+                              DEFAULT_RESOLUTIONS,
+                              tag=tags[-1] if tags else "poisson",
+                              filename=base)
 
 
 def main() -> int:

@@ -169,11 +169,12 @@ def run_test(flags, result_dir: str) -> None:
     params = _load_params(flags, net)
     num_point = flags.num_point or int(
         flags.num_shape_point * flags.drop_out)
-    if num_point > 1024:
+    if flags.num_point is None and num_point > 1024:
         # the reference derives NUM_POINT = num_shape_point * drop_out
         # when --num_point is omitted (main.py:87), i.e. ONE patch the
         # size of the whole shape — almost always a forgotten flag, and
         # at 5000+ points it compiles a multi-gigabyte cascade program
+        # (an explicit --num_point of any size is respected silently)
         logger.warn(
             f"patch size num_point={num_point} (whole shape?) — the "
             f"canonical eval uses --num_point 312; this will be "
@@ -199,57 +200,43 @@ def run_test(flags, result_dir: str) -> None:
             next_data = io_pool.submit(load, files[i + 1],
                                        flags.num_shape_point)
         logger.info(os.path.basename(path))
+        import contextlib
+        prof_ctx = contextlib.nullcontext()
+        manual_profile = False
         if flags.profile_dir and i == 0:
             import jax
             from threepu.utils.profiling import trace_supported
             if trace_supported():
-                with jax.profiler.trace(flags.profile_dir):
-                    start = time.time()
-                    inp, up = upsample_shape(
-                        net, params, data, flags.up_ratio,
-                        num_point=num_point,
-                        patch_num_ratio=flags.patch_num_ratio,
-                        chunk=flags.chunk, jitter=flags.jitter,
-                        jitter_sigma=flags.jitter_sigma,
-                        jitter_max=flags.jitter_max,
-                        drop_out=flags.drop_out, bucket=flags.bucket,
-                        restitch_groups=flags.restitch_groups)
+                prof_ctx = jax.profiler.trace(flags.profile_dir)
             else:
                 # the axon tunnel silently drops profiler traces
                 # (CLAUDE.md) — record a manual compile-vs-steady wall
                 # summary instead and point at the stage attributor
                 os.makedirs(flags.profile_dir, exist_ok=True)
-                start = time.time()
-                inp, up = upsample_shape(
-                    net, params, data, flags.up_ratio,
-                    num_point=num_point,
-                    patch_num_ratio=flags.patch_num_ratio,
-                    chunk=flags.chunk, jitter=flags.jitter,
-                    jitter_sigma=flags.jitter_sigma,
-                    jitter_max=flags.jitter_max,
-                    drop_out=flags.drop_out, bucket=flags.bucket,
-                        restitch_groups=flags.restitch_groups)
-                import json
-                with open(os.path.join(flags.profile_dir,
-                                       "profile.json"), "w") as f:
-                    json.dump({
-                        "note": "jax.profiler.trace unsupported under "
-                                "the axon tunnel; wall summary only — "
-                                "run benchmarks/profile_stages.py for "
-                                "per-stage attribution",
-                        "first_shape_s_incl_compile":
-                            round(time.time() - start, 3),
-                        "backend": jax.default_backend(),
-                    }, f, indent=1)
-        else:
-            start = time.time()
+                manual_profile = True
+        start = time.time()
+        with prof_ctx:
             inp, up = upsample_shape(
                 net, params, data, flags.up_ratio, num_point=num_point,
                 patch_num_ratio=flags.patch_num_ratio, chunk=flags.chunk,
                 jitter=flags.jitter, jitter_sigma=flags.jitter_sigma,
                 jitter_max=flags.jitter_max, drop_out=flags.drop_out,
                 bucket=flags.bucket,
-                        restitch_groups=flags.restitch_groups)
+                restitch_groups=flags.restitch_groups)
+        if manual_profile:
+            import json
+            import jax
+            with open(os.path.join(flags.profile_dir,
+                                   "profile.json"), "w") as f:
+                json.dump({
+                    "note": "jax.profiler.trace unsupported under "
+                            "the axon tunnel; wall summary only — "
+                            "run benchmarks/profile_stages.py for "
+                            "per-stage attribution",
+                    "first_shape_s_incl_compile":
+                        round(time.time() - start, 3),
+                    "backend": jax.default_backend(),
+                }, f, indent=1)
         logger.info(f"total time: {time.time() - start:.3f}s "
                     f"({up.shape[0]} points)")
         for w in [w for w in pending_writes if w.done()]:

@@ -51,17 +51,21 @@ def synthetic_surface(n: int, coef: np.ndarray,
 
 def write_synthetic_h5(out_dir: str, n_shapes: int = 20, seed: int = 7,
                        resolutions: Sequence[int] = DEFAULT_RESOLUTIONS,
-                       tag: str = "poisson") -> str:
+                       tag: str = "poisson",
+                       filename: str = None) -> str:
     """Write ``train_{tag}_{n1}_..._{nK}.hdf5`` under ``out_dir`` and
     return its path.  Filename and dataset names follow the reference
     convention so both ``threepu`` and the reference ``data.py`` can
-    load the file directly."""
+    load the file directly.  ``filename`` overrides the derived name
+    (e.g. held-out sets in the same directory as a train file with the
+    same resolutions — the derived name would overwrite it)."""
     import h5py
 
     resolutions = tuple(sorted(int(r) for r in resolutions))
-    name = "train_" + "_".join(
-        f"{tag}_{r}" for r in resolutions) + ".hdf5"
-    path = os.path.join(out_dir, name)
+    if filename is None:
+        filename = "train_" + "_".join(
+            f"{tag}_{r}" for r in resolutions) + ".hdf5"
+    path = os.path.join(out_dir, filename)
     os.makedirs(out_dir, exist_ok=True)
 
     rng = np.random.default_rng(seed)

@@ -24,7 +24,7 @@ import numpy as np
 
 from threepu.models import Net
 from threepu.ops import knn_group, gather_nd
-from threepu.ops.fps import _dispatch_fps, fps_hierarchical
+from threepu.ops.fps import PALLAS_MAX_N, _dispatch_fps, fps_hierarchical
 from threepu.ops.normalize import normalize_point_batch_cl
 
 Array = jax.Array
@@ -179,7 +179,11 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
         valid = jnp.broadcast_to(
             valid, (padded, num_point * ratio)).reshape(1, -1)
     if restitch_groups > 1:
-        group_max = -(-merged.shape[1] // restitch_groups)
+        # cap at the kernel's VMEM bound: a small requested group count
+        # on a huge merge must not produce groups the Pallas kernel
+        # cannot hold (restitch_groups is a lower bound on grouping)
+        group_max = min(-(-merged.shape[1] // restitch_groups),
+                        PALLAS_MAX_N)
         final_idx = fps_hierarchical(merged, num_out, valid_mask=valid,
                                      group_max=group_max)
     else:

@@ -85,10 +85,13 @@ OPT_TREE_KEY = "opt_treedef"
 
 def _opt_fingerprint(opt_state: Any) -> str:
     """Structural fingerprint of an optax state: the treedef repr plus
-    per-leaf key paths.  Leaf shapes alone can collide across different
-    optimizer configurations (e.g. Adam with different betas has
-    identical state shapes); the treedef repr pins the state *types*
-    so a resumed run can't silently restore mismatched moments."""
+    per-leaf key paths.  Pins the optimizer *structure* — chain
+    composition and state types (swapping Adam for SGD-with-momentum,
+    adding/removing a clip stage, a schedule count leaf appearing) —
+    which shape-matching alone cannot.  It can NOT detect
+    hyperparameter-only changes (Adam betas/lr live in the transform
+    closure, not the state); those resume with the old moments, which
+    is also what restoring with the new betas *means*."""
     import jax
 
     treedef = jax.tree_util.tree_structure(opt_state)
@@ -128,7 +131,7 @@ def load_opt_state(path: str, target_opt_state: Any) -> Optional[Any]:
     structure and leaf dtypes.  Returns ``None`` when the checkpoint
     has no optimizer state, its leaves don't line up, or its stored
     structural fingerprint disagrees with the target's (a changed
-    optimizer config whose state happens to be shape-compatible must
+    optimizer structure whose state happens to be shape-compatible must
     NOT silently restore stale moments); mismatches warn loudly so an
     'exact resume' that fell back to fresh state is visible.
     """

@@ -27,10 +27,16 @@ def trace_supported() -> bool:
     The axon TPU tunnel executes programs on a remote server, so the
     local profiler observes nothing — callers should fall back to
     manual stage timing (:class:`Stopwatch`,
-    ``benchmarks/profile_stages.py``)."""
-    import os
+    ``benchmarks/profile_stages.py``).  Checks the *initialized*
+    backend, not the env var: the axon plugin loads via a site hook
+    even when ``JAX_PLATFORMS`` is unset, so the env var alone
+    mispredicts in both directions.  The tunneled TPU reports itself
+    as ``tpu`` (``benchmarks/tpu_checks.py`` asserts exactly that), and
+    every TPU in this deployment is reached through the tunnel — local
+    backends (cpu/gpu) profile fine."""
+    import jax
 
-    return "axon" not in os.environ.get("JAX_PLATFORMS", "").lower()
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 @contextlib.contextmanager
