@@ -45,6 +45,17 @@ class TestPlanPatches:
         n, padded, chunk = plan_patches(5000, 312, 3.0, 10)
         assert n == 48 and padded == 50 and chunk == 10
 
+    def test_num_patches_override_roundtrip(self):
+        # make_sharded_upsampler honors num_patches by solving for the
+        # equivalent patch_num_ratio; the floor in plan_patches must
+        # recover the requested count exactly
+        for n_shape, num_point, req in [(5000, 312, 96), (128, 16, 24),
+                                        (128, 16, 12), (120, 16, 9),
+                                        (5000, 312, 48)]:
+            pnr = req * num_point / n_shape + 1e-9
+            got, _, _ = plan_patches(n_shape, num_point, pnr)
+            assert got == req, (n_shape, num_point, req, got)
+
 
 class TestUpsamplePointCloud:
     def test_output_shape_and_frame(self, net_and_params, shape):
