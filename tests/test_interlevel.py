@@ -108,6 +108,58 @@ class TestInterlevelKernel:
             np.asarray(res.dist2).reshape(P * G, N, K), np.asarray(d),
             atol=1e-4)
 
+    def test_fewer_distinct_than_k(self, rng):
+        """When a previous set has fewer distinct candidates than k the
+        sweeps must fall back to duplicate columns (the XLA sentinel
+        path selects duplicates there) — not re-select an extracted
+        column.  Regression: the exclusion sentinel used to rank BELOW
+        the displaced duplicates."""
+        P, G, N, M, K = 1, 2, 8, 16, 5
+        q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        # only 3 distinct points: rows 3.. copy rows 0-2
+        for i in range(3, M):
+            pxyz[0, i] = pxyz[0, i % 3]
+        dup = np.zeros((P, M), bool)
+        dup[0, 3:] = True
+
+        res = knn_group(q.reshape(P, G * N, 3), jnp.asarray(pxyz), K,
+                        unique=True, dup_mask=jnp.asarray(dup),
+                        method="exact")
+        orig = pl.pallas_call
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)):
+            d, idx = il.interlevel_select_pallas(
+                q, jnp.asarray(pxyz), jnp.asarray(dup), K)
+        idx = np.asarray(idx)
+        # every row: 3 distinct picks then duplicate columns, all
+        # in-range, no column repeated
+        assert idx.max() < M and idx.min() >= 0
+        for row in idx.reshape(-1, K):
+            assert len(set(row.tolist())) == K, row
+        np.testing.assert_array_equal(
+            np.asarray(res.idx).reshape(P * G, N, K)[..., :3],
+            idx[..., :3])
+        # the duplicate slots carry ~zero weight through the interp:
+        # the full outputs of both paths still agree
+        C = 12
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pf = rng.standard_normal((P, M, C)).astype(np.float32)
+        for i in range(3, M):
+            pf[0, i] = pf[0, i % 3]
+        ref = _xla_reference(q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                             jnp.asarray(dup), K)
+        with mock.patch.object(
+                il.pl, "pallas_call",
+                lambda *a, **kw: orig(*a, interpret=True, **kw)):
+            got = il.interlevel_interp_pallas(
+                q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                jnp.asarray(dup), K)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2, rtol=2e-2)
+
     def test_split_wrapper_consistent(self, rng):
         """The big-M call splitting must not change results."""
         P, G, N, M, C, K = 4, 2, 8, 16, 8, 3

@@ -63,12 +63,10 @@ def augment_batch(key: Array, input_patches: Array, label_patches: Array,
         input_patches = jitter_points(k_jit, input_patches, jitter_sigma,
                                       jitter_max, is_2d)
 
-    centroid = jnp.mean(label_patches, axis=1, keepdims=True)
-    label_patches = label_patches - centroid
-    radius = jnp.max(
-        jnp.sqrt(jnp.sum(label_patches ** 2, axis=-1, keepdims=True)),
-        axis=1, keepdims=True)
-    label_patches = label_patches / radius
+    from threepu.ops.normalize import normalize_point_batch_cl
+
+    label_patches, centroid, radius = normalize_point_batch_cl(
+        label_patches)
     input_patches = (input_patches - centroid) / radius
 
     if rotate:

@@ -131,12 +131,10 @@ class DeviceDataset:
                 jitter=self.jitter, jitter_sigma=self.jitter_sigma,
                 jitter_max=self.jitter_max, is_2d=self.is_2d)
         else:
-            centroid = jnp.mean(label_patches, axis=1, keepdims=True)
-            label_patches = label_patches - centroid
-            radius = jnp.max(jnp.sqrt(jnp.sum(
-                label_patches ** 2, axis=-1, keepdims=True)),
-                axis=1, keepdims=True)
-            label_patches = label_patches / radius
+            from threepu.ops.normalize import normalize_point_batch_cl
+
+            label_patches, centroid, radius = normalize_point_batch_cl(
+                label_patches)
             input_patches = (input_patches - centroid) / radius
 
         if self.drop_out < 1.0:
@@ -208,8 +206,9 @@ class H5Dataset:
         same as the reference class) and the driver immediately corrects
         it from the step.  Returns ``(stage, progress)`` so the caller
         can also set the Chamfer threshold (progress > 0.6)."""
-        stage = (step + stage_steps) // (2 * stage_steps)
-        progress = (step + stage_steps) / (2 * stage_steps) - stage
+        from threepu.data.curriculum import stage_progress
+
+        stage, progress = stage_progress(step, stage_steps)
         max_ratio = self.step_ratio ** (stage + 1)
         if up_ratio is not None:
             max_ratio = min(max_ratio, up_ratio)

@@ -132,6 +132,11 @@ class Level(nn.Module):
         Returns (upsampled xyz (B, N*r, 3) in normalized frame,
         point features (B, N, 264))."""
         b, n, _ = xyz_normalized.shape
+        # the vis phase pairs every capture with THIS level's input
+        # cloud (the reference keeps (old_xyz, v) per level,
+        # upsampler.py:167-184) — levels beyond 1 run on re-patched
+        # clouds, so nnIdx must not be plotted against level-1 points
+        self.sow("intermediates", "xyz_in", xyz)
         ec = dict(growth_rate=self.growth_rate, n=self.dense_n, k=self.knn,
                   dtype=self.dtype)
         # duplicate mask once on 3-channel xyz; identical input points

@@ -24,9 +24,12 @@ VMEM.  Grid = (top patch, sub-patch); per program (one sub-patch):
 Features travel as bf16 for the selection matmuls (selection logic is
 exact; feature values round at ~4e-3 relative inside an interpolation
 that is itself blended at 0.2) — validated against the XLA path in
-tests.  Duplicate previous points (merged overlapping patches) are
-pre-displaced to huge coordinates, which reproduces the unique-kNN
-semantics: a duplicate's feature equals its kept copy's.
+tests.  Duplicate previous points (merged overlapping patches) carry a
+ranking penalty plane, reproducing the unique-kNN sentinel semantics
+(``ops/knn.py``); coordinates stay true, so when fewer than ``k``
+distinct candidates exist the selected duplicates contribute their
+real geometry to the weights — exactly like the XLA path, which
+recomputes weights from the gathered neighbours.
 """
 
 from __future__ import annotations
@@ -38,52 +41,77 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BIG = 1e30
+#: exclusion sentinel for the min-extraction sweeps.  Must rank AFTER
+#: duplicates (d + _DUP_PENALTY ~ 1e30) and pads (coords 2e15 ->
+#: d ~1.2e31): with a smaller sentinel, a query with fewer than k
+#: distinct real candidates would re-select an already-extracted
+#: column instead of falling back to a duplicate (the XLA path's
+#: sentinel ranking selects duplicates there).  1e32 > 3*(2e15)^2 and
+#: is exactly representable in f32.
+_BIG = 1e32
 _BIG_I = 2**30
+#: ranking penalty added to duplicate columns.  In f32, d + 1e30 ==
+#: 1e30 exactly for real-scale d, so all duplicates tie and selection
+#: among them falls to the lowest index — identical to the XLA path's
+#: ``where(dup, 1e30, d)`` sentinel (ops/knn.py).  Coordinates stay
+#: TRUE (no displacement): the reference recomputes interpolation
+#: weights from the selected columns' real coordinates, so a selected
+#: duplicate must keep its real geometry.
+_DUP_PENALTY = 1e30
+#: padding rows sit at huge coordinates so they rank after duplicates.
+_PAD_COORD = 2e15
 
 
 def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
     n_tiles = n // q_tile
     assert n_tiles * q_tile == n
 
-    def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+    def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, pen_ref,
                xq_ref, feats_ref, out_ref):
-        px = px_ref[0]                       # (1, Mp)
+        px = px_ref[0]                       # (1, Mp) TRUE coords
         py = py_ref[0]
         pz = pz_ref[0]
+        pen = pen_ref[0]                     # (1, Mp) duplicate penalty
         feats = feats_ref[0]                 # (Mp, Cp) bf16
 
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (q_tile, m_pad), 1)
 
         # phase 1: per query tile, exact top-K selection (distances
-        # recomputed per sweep; only (q_tile, Mp) transients) + one-hot
-        # MXU row-selection of the features
+        # computed once per tile) + one-hot MXU row-selection of the
+        # features.  Ranking runs on d + penalty (duplicates last,
+        # matching the XLA sentinel path); the weight distance is the
+        # TRUE distance of the selected column, extracted by a masked
+        # sum over the clean d block — the reference recomputes its
+        # weights from the gathered coordinates (upsampler.py:232-250),
+        # so a selected duplicate must carry its real distance.
         d_rows, f_rows = [], []              # per tile: (q_tile, K), list
         for t in range(n_tiles):
             sl = pl.ds(t * q_tile, q_tile)
             qx = qx_ref[0, 0, sl]            # (q_tile, 1)
             qy = qy_ref[0, 0, sl]
             qz = qz_ref[0, 0, sl]
-            # distances computed ONCE per tile (the k min-extraction
-            # sweeps below only re-rank the stored (q_tile, Mp) block —
-            # mirrors the big-M selection kernel's chunk restructure)
             dx = qx - px
             dy = qy - py
             dz = qz - pz
-            d = dx * dx + dy * dy + dz * dz
+            d = dx * dx + dy * dy + dz * dz  # TRUE distances
+            dr = d + pen                     # ranking distances
             d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
             i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
             d_sel, feat_sel = [], []
             for _ in range(k):
-                later = (d > d_prev) | ((d == d_prev) & (j_iota > i_prev))
-                cand = jnp.where(later, d, _BIG)
+                later = ((dr > d_prev)
+                         | ((dr == d_prev) & (j_iota > i_prev)))
+                cand = jnp.where(later, dr, _BIG)
                 d_k = jnp.min(cand, axis=1, keepdims=True)
                 i_k = jnp.min(jnp.where(cand == d_k, j_iota, _BIG_I),
                               axis=1, keepdims=True)
-                onehot = (j_iota == i_k).astype(jnp.bfloat16)
+                hit = j_iota == i_k
+                onehot = hit.astype(jnp.bfloat16)
                 feat_k = jnp.dot(onehot, feats,
                                  preferred_element_type=jnp.float32)
-                d_sel.append(d_k)
+                d_true = jnp.sum(jnp.where(hit, d, 0.0), axis=1,
+                                 keepdims=True)
+                d_sel.append(d_true)
                 feat_sel.append(feat_k)
                 d_prev, i_prev = d_k, i_k
             d_rows.append(jnp.concatenate(d_sel, axis=1))
@@ -160,7 +188,7 @@ def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
             d_prev, i_prev = d_c, i_c
         return d_sel, i_sel
 
-    def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref,
+    def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, pen_ref,
                d_ref, i_ref):
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (q_tile, chunk), 1)
 
@@ -175,10 +203,11 @@ def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
                 px_c = px_ref[0, pl.ds(c, 1), :]      # (1, chunk)
                 py_c = py_ref[0, pl.ds(c, 1), :]
                 pz_c = pz_ref[0, pl.ds(c, 1), :]
+                pen_c = pen_ref[0, pl.ds(c, 1), :]
                 dx = qx - px_c
                 dy = qy - py_c
                 dz = qz - pz_c
-                d = dx * dx + dy * dy + dz * dz      # computed ONCE
+                d = dx * dx + dy * dy + dz * dz + pen_c  # computed ONCE
                 jj = j_iota + c * chunk
                 d_t, i_t = topk_sweeps(d, jj, k)     # chunk top-k
                 pool_d = jnp.concatenate([best_d] + d_t, axis=1)
@@ -202,8 +231,10 @@ def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
 def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
                              prev_dup: jax.Array, k: int):
     """Exact spatial top-K of each query against the (shared) previous
-    set, unique semantics via duplicate displacement.  Returns
-    ``(dist2 (B, N, k) f32 ascending, idx (B, N, k) int32)``."""
+    set, unique semantics via the ranking penalty plane (duplicate
+    picks return the ``~1e30`` sentinel distance, exactly like the XLA
+    path).  Returns ``(dist2 (B, N, k) f32 ascending ranked, idx
+    (B, N, k) int32)``."""
     b, n, _ = q_xyz.shape
     p, m, _ = prev_xyz.shape
     assert b % p == 0
@@ -216,13 +247,16 @@ def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
     chunk = min(_SELECT_M_CHUNK, m_pad)
     n_chunks = m_pad // chunk
 
-    far = jnp.where(prev_dup[..., None], 1e15, 0.0).astype(jnp.float32)
-    pc = prev_xyz.astype(jnp.float32) + far
-    pc = jnp.pad(pc, ((0, 0), (0, m_pad - m), (0, 0)),
-                 constant_values=1e15)
+    pc = jnp.pad(prev_xyz.astype(jnp.float32),
+                 ((0, 0), (0, m_pad - m), (0, 0)),
+                 constant_values=_PAD_COORD)
+    pen = jnp.pad(
+        jnp.where(prev_dup, _DUP_PENALTY, 0.0).astype(jnp.float32),
+        ((0, 0), (0, m_pad - m)))
     # chunked plane layout (P, n_chunks, chunk): the kernel streams the
     # M axis by indexing the sublane axis
     p_planes = [pc[..., i].reshape(p, n_chunks, chunk) for i in range(3)]
+    p_planes.append(pen.reshape(p, n_chunks, chunk))
 
     q = q_xyz.astype(jnp.float32).reshape(p, group, n, 3)
     q_planes = [q[..., i][..., None] for i in range(3)]
@@ -243,7 +277,7 @@ def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
     d, idx = pl.pallas_call(
         _make_select_kernel(k, n, n_chunks, chunk, q_tile),
         grid=(p, group),
-        in_specs=[q_spec] * 3 + [p_spec] * 3,
+        in_specs=[q_spec] * 3 + [p_spec] * 4,
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((p, group, n, k_pad), jnp.float32),
@@ -258,20 +292,28 @@ def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _interp_from_selection(d: jax.Array, idx: jax.Array, xq: jax.Array,
+def _interp_from_selection(q_xyz: jax.Array, idx: jax.Array,
+                           xq: jax.Array, prev_xyz: jax.Array,
                            prev_feat: jax.Array, k: int) -> jax.Array:
     """XLA tail of the big-M path: gather the K selected feature rows
     and apply the reference weighting (``upsampler.py:316-347``).  The
     gather output is only (B, N, K, C) — the (P, NQ, M) distance matrix
-    of the naive XLA formulation never exists."""
+    of the naive XLA formulation never exists.  Spatial distances are
+    recomputed from the selected columns' TRUE coordinates (the
+    reference derives its weights from the gathered neighbours,
+    ``upsampler.py:232-250``), so a duplicate selected when fewer than
+    k distinct candidates exist carries its real geometry instead of a
+    ranking sentinel."""
     from threepu.ops.gather import batched_gather
 
-    b, n, _ = d.shape
+    b, n, _ = q_xyz.shape
     p, m, c = prev_feat.shape
     group = b // p
-    feats = batched_gather(
-        prev_feat, idx.reshape(p, group * n, k)).reshape(b, n, k, c)
-    d = jax.lax.stop_gradient(d)
+    idx_flat = idx.reshape(p, group * n, k)
+    feats = batched_gather(prev_feat, idx_flat).reshape(b, n, k, c)
+    nbrs = batched_gather(prev_xyz, idx_flat).reshape(b, n, k, 3)
+    d = jax.lax.stop_gradient(
+        jnp.sum((q_xyz[..., :, None, :] - nbrs) ** 2, axis=-1))
     h_s = jnp.mean(d[..., :1], axis=-2, keepdims=True)  # per sub-patch
     w_s = jnp.exp(-d / (h_s / 2.0))
     f_d = jax.lax.stop_gradient(
@@ -316,8 +358,9 @@ def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
     m_pad = -(-m // 512) * 512
     c_pad = -(-c // 128) * 128
     if _fused_vmem_bytes(m_pad, c_pad, n) > _FUSED_VMEM_BUDGET:
-        d, idx = interlevel_select_pallas(q_xyz, prev_xyz, prev_dup, k)
-        return _interp_from_selection(d, idx, xq, prev_feat, k)
+        _, idx = interlevel_select_pallas(q_xyz, prev_xyz, prev_dup, k)
+        return _interp_from_selection(q_xyz, idx, xq, prev_xyz,
+                                      prev_feat, k)
     if p * group <= _MAX_PROGRAMS_BIG_M:
         return _interlevel_call(q_xyz, xq, prev_xyz, prev_feat,
                                 prev_dup, k)
@@ -377,11 +420,14 @@ def _interlevel_call(q_xyz: jax.Array, xq: jax.Array,
     c_pad = -(-c // 128) * 128
     m_pad = -(-m // 512) * 512
 
-    far = jnp.where(prev_dup[..., None], 1e15, 0.0).astype(jnp.float32)
-    pc = prev_xyz.astype(jnp.float32) + far
-    pc = jnp.pad(pc, ((0, 0), (0, m_pad - m), (0, 0)),
-                 constant_values=1e15)
+    pc = jnp.pad(prev_xyz.astype(jnp.float32),
+                 ((0, 0), (0, m_pad - m), (0, 0)),
+                 constant_values=_PAD_COORD)
     p_planes = [pc[..., i][:, None, :] for i in range(3)]   # (P, 1, Mp)
+    pen = jnp.pad(
+        jnp.where(prev_dup, _DUP_PENALTY, 0.0).astype(jnp.float32),
+        ((0, 0), (0, m_pad - m)))[:, None, :]               # (P, 1, Mp)
+    p_planes.append(pen)
 
     q = q_xyz.astype(jnp.float32).reshape(p, group, n, 3)
     q_planes = [q[..., i][..., None] for i in range(3)]     # (P, G, N, 1)
@@ -411,7 +457,7 @@ def _interlevel_call(q_xyz: jax.Array, xq: jax.Array,
     out = pl.pallas_call(
         _make_kernel(k, n, m_pad, c_pad, q_tile),
         grid=(p, group),
-        in_specs=[q_spec] * 3 + [p_spec] * 3 + [xq_spec, feat_spec],
+        in_specs=[q_spec] * 3 + [p_spec] * 4 + [xq_spec, feat_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((p, group, n, c_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(

@@ -178,7 +178,13 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
                           start_step=step)
 
     t0 = time.time()
-    for epoch in range(start_epoch, cfg.max_epoch):
+    # Epochs are labeled 1..max_epoch: the first checkpoint lands at
+    # epoch ckpt_epochs like the reference (no spurious model_0 save).
+    # Documented deviation: the reference's ``range(start_epoch + 1,
+    # MAX_EPOCH)`` (main.py:161) runs MAX_EPOCH - 1 epochs for a fresh
+    # run — an off-by-one against its own --max_epoch flag; here
+    # max_epoch means what it says.
+    for epoch in range(start_epoch + 1, cfg.max_epoch + 1):
         for _ in range(steps_per_epoch):
             if max_steps is not None and step >= max_steps:
                 flush()
@@ -210,7 +216,10 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             w = loss_weight(ratio, cfg.up_ratio, cfg.step_ratio,
                             cfg.weight_mode)
             k = f"cd_loss_x{ratio}"
-            pending.append((k, w, step + 1, cd))
+            # step was already incremented: on the k-th optimizer step
+            # the denominator is k, matching the reference's pre-
+            # increment ``step + 1`` (model.py:66,76)
+            pending.append((k, w, step, cd))
             if step % cfg.log_steps == 0:
                 last_cd = flush()
                 if log_fn is not None:

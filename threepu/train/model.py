@@ -177,7 +177,10 @@ class Model:
             self.weight_mode)
         k = f"cd_loss_x{self.up_ratio}"
         prev = self.error_log[k]
-        self.error_log[k] = prev + (weighted - prev) / (self.step + 1)
+        # self.step was already incremented: on the k-th optimize()
+        # this divides by k, matching the reference's pre-increment
+        # ``self.step + 1`` (model.py:66,76)
+        self.error_log[k] = prev + (weighted - prev) / self.step
         return weighted
 
     def forward(self):

@@ -145,9 +145,15 @@ def vis_phase(flags, net, params, result_dir: str,
         for name, arr in captured.items():
             if "nnIdx" not in name:
                 continue
+            # pair the graph with ITS level's input cloud (the
+            # reference keeps (old_xyz, nnIdx) per level,
+            # main.py:319-330) — levels > 1 run on re-patched clouds
+            scope = name.rsplit(".", 1)[0]
+            cloud = captured.get(f"{scope}.xyz_in")
+            cloud = cloud[0] if cloud is not None else xyz_flat
             painter = Painter("NN Feature")
             painter.nnIdx = arr[0]
-            painter.interactive_3D_plot(xyz_flat[:arr[0].shape[0]], name,
+            painter.interactive_3D_plot(cloud[:arr[0].shape[0]], name,
                                         show=show)
 
 
