@@ -120,7 +120,7 @@ class TestTrainPhase:
     def test_train_end_to_end_tiny(self, tmp_path):
         """Full CLI train phase through a subprocess: generate a
         synthetic reference-format h5 (the out-of-the-box path), run
-        one epoch at a tiny config, and assert the epoch-0 full-state
+        one epoch at a tiny config, and assert the final full-state
         checkpoint lands under log_dir/id with a restorable param
         tree."""
         from threepu.data.synthetic import write_synthetic_h5
@@ -144,7 +144,7 @@ class TestTrainPhase:
              "--log_dir", str(tmp_path / "log"), "--id", "t"],
             capture_output=True, text=True, env=env, timeout=1800)
         assert out.returncode == 0, (out.stdout[-800:], out.stderr[-2000:])
-        ckpt = tmp_path / "log" / "t" / "model_0.npz"
+        ckpt = tmp_path / "log" / "t" / "model_1.npz"
         assert ckpt.exists(), list((tmp_path / "log").rglob("*"))
         from threepu.io import load_checkpoint
         restored, step = load_checkpoint(str(ckpt))

@@ -234,4 +234,10 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
         if epoch % cfg.ckpt_epochs == 0:
             path = save_epoch_checkpoint(cfg, state, step, epoch)
             logger.info(f"saved {path}")
+    # Always checkpoint the completed run (intended-behaviour fix: the
+    # reference only saves every 20 epochs, so its final 160-epoch run
+    # silently loses everything after epoch 140, main.py:208-211).
+    if start_epoch < cfg.max_epoch and cfg.max_epoch % cfg.ckpt_epochs:
+        path = save_epoch_checkpoint(cfg, state, step, cfg.max_epoch)
+        logger.info(f"saved {path} (final)")
     return state, error_log
