@@ -80,7 +80,7 @@ def main():
     # FMA/fusion rounding can flip near-tie selections, so compare the
     # Chamfer between the two outputs against the nn spacing scale)
     a, b = outs["lanes"][None], outs["transposed"][None]
-    d_ab, d_ba, _, _ = nn_distance(a, b)
+    d_ab, _, d_ba, _ = nn_distance(a, b)
     cd = float(d_ab.mean() + d_ba.mean())
     d_self, _, _, _ = nn_distance(a, a[:, ::2])
     print(f"chamfer(lanes, transposed) = {cd:.3e} "

@@ -29,10 +29,9 @@ from train_demo import synth_dataset
 
 def chamfer(a: np.ndarray, b: np.ndarray) -> float:
     import jax.numpy as jnp
-    from threepu.ops.chamfer import nn_distance
+    from threepu.losses import chamfer_loss
 
-    d1, _, d2, _ = nn_distance(jnp.asarray(a)[None], jnp.asarray(b)[None])
-    return float(jnp.mean(d1) + jnp.mean(d2))
+    return float(chamfer_loss(jnp.asarray(a)[None], jnp.asarray(b)[None]))
 
 
 def main() -> int:

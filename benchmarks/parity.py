@@ -74,6 +74,12 @@ def main():
     ap.add_argument("--out_dir", default="./parity_out")
     args = ap.parse_args()
 
+    if not args.ours and not args.ckpt:
+        ap.error("one of --ours or --ckpt is required (see module "
+                 "docstring for the two usage modes)")
+    if args.ckpt and not args.test_data:
+        ap.error("--ckpt requires --test_data (input shapes to upsample)")
+
     ours = args.ours
     if args.ckpt:
         from threepu.cli import main as cli_main

@@ -51,10 +51,9 @@ HYPER = dict(max_up_ratio=16, step_ratio=2, knn=32, growth_rate=12,
 
 def chamfer_np(a: np.ndarray, b: np.ndarray) -> float:
     import jax.numpy as jnp
-    from threepu.ops.chamfer import nn_distance
+    from threepu.losses import chamfer_loss
 
-    d1, _, d2, _ = nn_distance(jnp.asarray(a)[None], jnp.asarray(b)[None])
-    return float(jnp.mean(d1) + jnp.mean(d2))
+    return float(chamfer_loss(jnp.asarray(a)[None], jnp.asarray(b)[None]))
 
 
 def reference_upsample(ref, ref_net, shape: np.ndarray, num_point: int,

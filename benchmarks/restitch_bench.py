@@ -59,10 +59,11 @@ def main():
                        "patch": jax.random.PRNGKey(1)},
                       ex, RATIO, gt, train=True)["params"]
 
+    from threepu.losses import chamfer_loss
+
     @jax.jit
     def chamfer(a, b):
-        d1, _, d2, _ = nn_distance(a[None], b[None])
-        return jnp.mean(d1) + jnp.mean(d2)
+        return chamfer_loss(a[None], b[None])
 
     @jax.jit
     def coverage(inp, out):

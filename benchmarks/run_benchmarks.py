@@ -4,7 +4,8 @@ The reference publishes no numbers (BASELINE.md), so these measure our
 own implementation on the canonical configs; ``bench.py`` at the repo
 root is the single-line headline wrapper around config 1.
 
-Usage: python benchmarks/run_benchmarks.py [--configs 1 2 ...] [--json]
+Usage: python benchmarks/run_benchmarks.py [--configs 1 2 ...]
+(results print as JSON, one line per config plus a final summary)
 """
 
 from __future__ import annotations

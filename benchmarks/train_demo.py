@@ -75,19 +75,16 @@ def main() -> int:
     cfg = TrainConfig(
         h5_data=h5, num_shape_point=5000, num_point=312,
         stage_steps=args.stage_steps, model_dir=os.path.join(tmp, "model"),
-        log_steps=10**9)  # no visdom hook; we track below
+        # 5-step trajectory granularity (every log step runs the
+        # with_pred program variant, so keep it off the every-step path)
+        log_steps=5)
     os.makedirs(cfg.model_dir, exist_ok=True)
 
     losses = {}
-    times = []
-    last = [time.time()]
 
     def log_fn(step, ratio, loss, state, batch, **kw):
         losses.setdefault(ratio, []).append((step, loss))
 
-    # 5-step trajectory granularity (every log step runs the with_pred
-    # program variant, so keep it off the every-step path)
-    cfg.log_steps = 5
     t0 = time.time()
     state, error_log = train_loop(cfg, max_steps=args.steps, log_fn=log_fn)
     wall = time.time() - t0
@@ -102,7 +99,6 @@ def main() -> int:
             "steps": len(arr), "first_fifth_loss": round(head, 5),
             "last_fifth_loss": round(tail, 5),
             "improved": bool(tail < head)}
-    # steady-state rate: drop the first visit to each ratio (compile)
     print(json.dumps(report), flush=True)
     ok = all(report[k]["improved"] for k in report if k.startswith("x"))
     print("TRAIN DEMO:", "OK" if ok else "LOSS NOT DECREASING", flush=True)

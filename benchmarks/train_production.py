@@ -11,7 +11,7 @@ dense ground truth.
 
 Orchestrator (default):
     python benchmarks/train_production.py [--steps 120000]
-        [--kill_after_s 900]
+        [--kill_after_s 1500]
 Worker (one training process; orchestrator launches these):
     python benchmarks/train_production.py --worker --steps N
 
@@ -97,7 +97,7 @@ def worker(args) -> int:
         # final full-state checkpoint + held-out eval
         from threepu.io import save_train_checkpoint
         from threepu.inference import upsample_shape
-        from threepu.ops.chamfer import nn_distance
+        from threepu.losses import chamfer_loss
         import jax.numpy as jnp
 
         final = os.path.join(model_dir, "model_final.npz")
@@ -116,12 +116,10 @@ def worker(args) -> int:
         _, up = upsample_shape(net, state.params, inp, 16,
                                num_point=312, chunk=8)
         up = np.asarray(up)
-        d1, _, d2, _ = nn_distance(jnp.asarray(up)[None],
-                                   jnp.asarray(gt)[None])
-        cd = float(jnp.mean(d1) + jnp.mean(d2))
-        d1, _, d2, _ = nn_distance(jnp.asarray(inp)[None],
-                                   jnp.asarray(gt)[None])
-        cd_in = float(jnp.mean(d1) + jnp.mean(d2))
+        cd = float(chamfer_loss(jnp.asarray(up)[None],
+                                jnp.asarray(gt)[None]))
+        cd_in = float(chamfer_loss(jnp.asarray(inp)[None],
+                                   jnp.asarray(gt)[None]))
         report = {
             "total_steps": step,
             "final_error_log": {str(k): round(v, 6) for k, v in
@@ -148,7 +146,14 @@ def orchestrate(args) -> int:
     print(f"phase 1 pid {p.pid}; killing after {args.kill_after_s}s",
           flush=True)
     try:
-        p.wait(timeout=args.kill_after_s)
+        rc1 = p.wait(timeout=args.kill_after_s)
+        if rc1 != 0:
+            # a crashed worker is NOT a kill/resume exercise — fail
+            # loudly instead of "resuming" from nothing
+            print(f"phase 1 CRASHED rc={rc1} before the kill window "
+                  f"(see phase1.log)", flush=True)
+            log1.close()
+            return 1
         print("phase 1 finished before the kill window", flush=True)
     except subprocess.TimeoutExpired:
         p.send_signal(signal.SIGKILL)   # hard kill: no atexit, no flush
