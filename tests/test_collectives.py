@@ -31,12 +31,13 @@ from threepu.train.model import create_train_state, make_optimizer
 
 _COLLECTIVE = re.compile(
     r"= (\S+) (all-reduce|all-gather|reduce-scatter|all-to-all|"
-    r"collective-permute)\(")
+    r"collective-permute)(-start)?\(")
 
 
 def collectives(hlo_text):
     """[(opcode, result_shape_str, op_name)] for every collective
-    instruction in a compiled HLO module."""
+    instruction in a compiled HLO module (sync and async ``-start``
+    forms; ``-done`` halves are not double-counted)."""
     out = []
     for line in hlo_text.splitlines():
         m = _COLLECTIVE.search(line)
@@ -113,9 +114,13 @@ class TestShardedTrainCollectives:
         """The step's total communication stays at the designed scale:
         the gradient/loss reduction plus (CPU-dispatch only) one
         gather-VJP scatter-add pair — NOT one resharding per kNN site
-        (13 collectives before the partition-safe selection)."""
+        (13 collectives before the partition-safe selection).  The
+        positive side guards against the audit going vacuous (e.g. a
+        regex missing a new HLO spelling): communication MUST exist —
+        a fully-replicated program would also show zero collectives."""
         colls = collectives(compiled_text)
-        assert len(colls) <= 4, colls
+        assert 1 <= len(colls) <= 4, colls
+        assert any(c[0] == "all-reduce" for c in colls), colls
 
 
 class TestShardedInferenceCollectives:
@@ -140,9 +145,11 @@ class TestShardedInferenceCollectives:
         merge, restitch replicated.  Before the sharding constraints in
         inference.py, GSPMD propagated the patch sharding into the
         restitch FPS pick loop (two tiny collectives per pick = 2 *
-        num_out ICI latencies) and backwards into the seed FPS."""
+        num_out ICI latencies) and backwards into the seed FPS.  The
+        merge all-gather must EXIST (zero collectives would mean the
+        audit went vacuous or the cascade stopped being sharded)."""
         colls = collectives(compiled_text)
-        assert len(colls) <= 2, colls
+        assert 1 <= len(colls) <= 2, colls
         assert all(c[0] == "all-gather" for c in colls), colls
 
     def test_no_collectives_in_pick_loops(self, compiled_text):

@@ -20,11 +20,15 @@ def h5_file(tmp_path_factory):
         "train_poisson_32_poisson_64_poisson_128_poisson_256_"
         "poisson_512.hdf5")
     rng = np.random.default_rng(0)
+    # ONE per-shape offset shared by every resolution: all resolutions
+    # of a shape must sample the SAME underlying surface (the property
+    # the paired input/label patch extraction relies on)
+    offset = rng.uniform(-2, 2, (4, 1, 3)).astype(np.float32)
     with h5py.File(path, "w") as f:
         for res in (32, 64, 128, 256, 512):
             pts = rng.standard_normal((4, res, 3)).astype(np.float32)
             pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
-            pts += rng.uniform(-2, 2, (4, 1, 3)).astype(np.float32)  # offset
+            pts += offset
             f.create_dataset(f"poisson_{res}", data=pts)
     return str(path)
 
@@ -39,7 +43,8 @@ class TestCurriculum:
         assert s == 1 and p == pytest.approx(0.9999666, abs=1e-4)
 
     def test_state_progression(self):
-        # fresh run: stage 0, scales (2,), combined (progress 0.5 at 0.. wait >0.5 false)
+        # fresh run: stage 0, scales (2,); progress is exactly 0.5,
+        # which is not > 0.5, so not combined
         st = curriculum_state(0, 100, up_ratio=16)
         assert st.scales == (2,)
         assert not st.combined and st.threshold is None
@@ -164,7 +169,15 @@ class TestAugment:
                              rotate=False)
         b, _ = augment_batch(jax.random.PRNGKey(0), inp, lab, jitter=False,
                              rotate=False)
-        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        delta = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert delta > 0
+        # the perturbation respects jitter_max: jitter precedes the
+        # label-stat normalization and both runs share the same
+        # centroid/radius, so a - b is the raw clipped noise divided by
+        # the label radius
+        from threepu.ops.normalize import normalize_point_batch_cl
+        _, _, radius = normalize_point_batch_cl(lab)
+        assert delta <= 0.02 / float(np.asarray(radius).min()) + 1e-6
 
     def test_2d_jitter_keeps_z(self, rng):
         inp = jnp.asarray(np.concatenate(

@@ -36,7 +36,7 @@ KNN_CASES = [(s, n, m, c, k, dup, uniq)
                  [(37, 11, 3, 5), (64, 64, 3, 17), (129, 40, 8, 9),
                   (200, 1, 3, 33), (16, 16, 24, 4), (311, 97, 3, 20)])
              for dup in (False, True)
-             for uniq in (False, True) if uniq or not dup]
+             for uniq in (False, True)]
 
 
 @pytest.mark.parametrize("seed,n,m,c,k,dup,uniq", KNN_CASES)

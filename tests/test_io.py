@@ -1,5 +1,3 @@
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -100,10 +98,19 @@ class TestCheckpoint:
     def test_partial_restore_drops_unknown(self, tmp_path):
         net, params = _tiny_net_params()
         path = str(tmp_path / "ckpt.npz")
+
+        # (a) checkpoint contains a key absent from the target: it must
+        # be ignored, not crash or mis-merge (restoring a full ckpt
+        # into a smaller net, pytorch_utils.py:32-39)
+        bigger = jax.tree.map(lambda x: x, params)
+        bigger["params"]["extra_head"] = {"kernel": jnp.ones((2, 2))}
+        save_checkpoint(path, bigger, step=7)
+        restored, step = load_checkpoint(path, params)
+        assert "extra_head" not in restored["params"]
+        assert step == 7
+
+        # (b) target has a leaf the checkpoint lacks: it keeps its value
         save_checkpoint(path, params, step=7)
-        # target with an extra leaf: unknown checkpoint keys are ignored,
-        # missing target keys keep their values
-        import copy
         target = jax.tree.map(lambda x: x, params)
         target["params"]["extra_head"] = {"kernel": jnp.zeros((2, 2))}
         restored, step = load_checkpoint(path, target)
@@ -122,9 +129,6 @@ class TestCheckpoint:
         torch.save(state, path)
         restored, step = import_pth(path, params)
         assert step == 42
-        flat_a = {k: v for k, v in zip(
-            [str(p) for p in jax.tree_util.tree_leaves_with_path(params)],
-            jax.tree_util.tree_leaves(params))}
         la = jax.tree_util.tree_leaves(params)
         lb = jax.tree_util.tree_leaves(restored)
         assert len(la) == len(lb)

@@ -69,17 +69,26 @@ class TestTrainStep:
 
     def test_grad_clipping_present(self, tiny_batch):
         """optax.clip(1.0) mirrors clip_grad_value_(params, 1)
-        (model.py:64): with a huge lr the update per param is bounded by
-        the adam step scale, but the clip is in the chain — verify the
-        transform chain structure instead of numerics."""
+        (model.py:64).  Verified through the REAL make_optimizer chain:
+        a gradient of 100 must produce exactly the same update as the
+        same gradient pre-clipped to 1 — true only if the clip stage is
+        actually in the chain."""
         tx = make_optimizer(5e-4)
-        # optax.chain -> GradientTransformation with init/update; apply
-        # to a gradient of 100: after clip the first stage outputs +-1
-        import optax
-        clip = optax.clip(1.0)
-        g = {"w": jnp.asarray([100.0, -50.0, 0.5])}
-        out, _ = clip.update(g, clip.init(g))
-        np.testing.assert_allclose(np.asarray(out["w"]), [1.0, -1.0, 0.5])
+        params = {"w": jnp.asarray([0.0, 0.0, 0.0])}
+        g_big = {"w": jnp.asarray([100.0, -50.0, 0.5])}
+        g_clipped = {"w": jnp.asarray([1.0, -1.0, 0.5])}
+        up_big, _ = tx.update(g_big, tx.init(params), params)
+        up_clip, _ = tx.update(g_clipped, tx.init(params), params)
+        np.testing.assert_allclose(np.asarray(up_big["w"]),
+                                   np.asarray(up_clip["w"]))
+        # and the clip is not a no-op: an unclipped gradient of 2 gives
+        # a different update than a gradient of 1 would
+        up_two, _ = tx.update({"w": jnp.asarray([2.0, 0.0, 0.0])},
+                              tx.init(params), params)
+        up_one, _ = tx.update({"w": jnp.asarray([1.0, 0.0, 0.0])},
+                              tx.init(params), params)
+        np.testing.assert_allclose(np.asarray(up_two["w"]),
+                                   np.asarray(up_one["w"]))
 
 
 class TestModelCompat:
