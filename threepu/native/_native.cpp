@@ -111,8 +111,10 @@ int64_t parse_floats(const char* text, int64_t len, float* out,
     char* next = nullptr;
     const float v = strtof(p, &next);
     if (next == p) {  // not a number: skip token
+      // ',' terminates the skip too (it is a separator above): a
+      // number glued to a bad token by a comma must not be swallowed
       while (p < end && *p != ' ' && *p != '\t' && *p != '\n' &&
-             *p != '\r')
+             *p != '\r' && *p != ',')
         ++p;
       continue;
     }

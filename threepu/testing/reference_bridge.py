@@ -95,13 +95,29 @@ def _make_losses_module():
     mod = types.ModuleType("losses")
 
     def nmdistance_forward(xyz1, xyz2, dist1, dist2, idx1, idx2):
-        # bidirectional squared NN distance (nmdistance_cuda.cu:11-153)
-        d = torch.sum(
-            (xyz1[:, :, None, :] - xyz2[:, None, :, :]) ** 2, dim=-1)
-        v1, i1 = torch.min(d, dim=2)
-        v2, i2 = torch.min(d, dim=1)
-        dist1.copy_(v1)
-        idx1.copy_(i1.to(idx1.dtype))
+        # bidirectional squared NN distance (nmdistance_cuda.cu:11-153).
+        # Same direct-subtraction numerics as the CUDA kernel, chunked
+        # over the N axis: the full (B, N, M, 3) broadcast is ~4.8 GB
+        # at eval scale (80k x 5k), the (B, chunk, M, 3) transient is
+        # bounded
+        n = xyz1.shape[1]
+        chunk = max(1, min(n, 4_000_000 // max(1, xyz2.shape[1])))
+        v2 = None
+        for s in range(0, n, chunk):
+            blk = torch.sum(
+                (xyz1[:, s:s + chunk, None, :]
+                 - xyz2[:, None, :, :]) ** 2, dim=-1)
+            bv1, bi1 = torch.min(blk, dim=2)
+            dist1[:, s:s + chunk] = bv1
+            idx1[:, s:s + chunk] = bi1.to(idx1.dtype)
+            bv2, bi2 = torch.min(blk, dim=1)
+            bi2 = bi2 + s
+            if v2 is None:
+                v2, i2 = bv2, bi2
+            else:
+                better = bv2 < v2  # strict: first (lowest-index) min wins
+                v2 = torch.where(better, bv2, v2)
+                i2 = torch.where(better, bi2, i2)
         dist2.copy_(v2)
         idx2.copy_(i2.to(idx2.dtype))
         return dist1, dist2, idx1, idx2
@@ -153,7 +169,11 @@ def import_reference():
     (``model_loss.py:22-23`` reads ``d_dist1`` before assignment)."""
     install_reference_stubs()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # append, never insert(0): the reference ships generic
+        # top-level module names (utils, data, model, main, network)
+        # that would otherwise shadow every later absolute import in
+        # the process, including site-packages
+        sys.path.append(REFERENCE_ROOT)
     import network.operations as operations
     import network.layers as ref_layers
     import network.upsampler as ref_upsampler
