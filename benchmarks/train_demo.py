@@ -20,7 +20,6 @@ Results recorded in benchmarks/RESULTS.md.
 
 import argparse
 import json
-import math
 import os
 import sys
 import tempfile

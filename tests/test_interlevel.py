@@ -1,7 +1,6 @@
 import unittest.mock as mock
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from jax.experimental import pallas as pl

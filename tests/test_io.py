@@ -1,7 +1,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from threepu.io import (read_ply, read_ply_with_color, save_ply,
                         save_ply_property, save_ply_with_face, load, save,

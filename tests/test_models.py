@@ -3,7 +3,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from threepu.models import (DenseConv, DenseEdgeConv, Level, Net,
+from threepu.models import (DenseEdgeConv, Level, Net,
                             AdaptiveLevel, exponential_distance)
 from threepu.losses import ChamferLoss, chamfer_loss
 from oracles import nn_distance_oracle

@@ -18,7 +18,7 @@ from typing import List, Tuple
 import jax.numpy as jnp
 
 from threepu.data.curriculum import stage_progress as get_stage_progress  # noqa: F401
-from threepu.inference import upsample_point_cloud, plan_patches
+from threepu.inference import plan_patches
 from threepu.ops import knn_group, gather_nd
 from threepu.ops.fps import _dispatch_fps
 from threepu.ops.normalize import normalize_point_batch_cl

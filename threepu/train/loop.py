@@ -26,7 +26,7 @@ import numpy as np
 
 from threepu.data import DeviceDataset, curriculum_state
 from threepu.data.prefetch import Prefetcher
-from threepu.io import save_checkpoint, load_checkpoint, import_pth
+from threepu.io import load_checkpoint, import_pth
 from threepu.models import Net
 from threepu.train.model import (create_train_state, make_optimizer,
                                  train_step, loss_weight)
