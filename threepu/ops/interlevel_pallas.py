@@ -268,11 +268,7 @@ def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
     out_spec = pl.BlockSpec((1, 1, n, k_pad), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    q_tile = n
-    for cand in (104, 128, 64, 52, 8):
-        if n % cand == 0:
-            q_tile = cand
-            break
+    q_tile = _pick_q_tile(n)
 
     d, idx = pl.pallas_call(
         _make_select_kernel(k, n, n_chunks, chunk, q_tile),
@@ -331,19 +327,34 @@ def _interp_from_selection(q_xyz: jax.Array, idx: jax.Array,
 _MAX_PROGRAMS_BIG_M = 40
 _BIG_M = 3584
 
-#: per-program VMEM budget for the fused kernel's resident feature
-#: block (bf16, double-buffered) + xq/out blocks; beyond this the axon
-#: compiler reports scoped-vmem OOM (observed: 27.2M > 16M limit at
-#: M=15872, C=384), so big-M calls switch to selection-kernel + XLA
-#: gather instead.
+#: per-program VMEM budget for the fused kernel: resident feature
+#: block (bf16, double-buffered) + xq/out blocks + the kernel's own
+#: stack.  Beyond this the axon compiler reports scoped-vmem OOM
+#: (observed: 27.2M > 16M limit at M=15872/C=384 round 2; 21.13M > 16M
+#: at M=6656/C=384 round 3 after the penalty-plane ranking added a
+#: second persistent (q_tile, Mp) distance block), so big-M calls
+#: switch to selection-kernel + XLA gather instead.
 _FUSED_VMEM_BUDGET = 13 * 2**20
+
+
+def _pick_q_tile(n: int) -> int:
+    for cand in (104, 128, 64, 52, 8):
+        if n % cand == 0:
+            return cand
+    return n
 
 
 def _fused_vmem_bytes(m_pad: int, c_pad: int, n: int) -> int:
     feats = 2 * m_pad * c_pad * 2          # bf16, double-buffered
     xq_out = 2 * 2 * n * c_pad * 4         # f32 blocks, double-buffered
-    planes = 3 * m_pad * 4
-    return feats + xq_out + planes
+    planes = 4 * m_pad * 4                 # 3 coords + penalty
+    # kernel stack: the sweep loop keeps the true-distance block `d`,
+    # the ranking block `dr`, and sweep transients (cand/hit/onehot)
+    # live at (q_tile, Mp).  Calibrated against the measured round-3
+    # OOM: 21.13M actual vs 12.2M of blocks at (Mp 6656, Cp 384,
+    # q_tile 104) -> ~8.9M ~= 3.2 * q_tile * Mp * 4; use 3.5 margin.
+    stack = int(3.5 * _pick_q_tile(n) * m_pad * 4)
+    return feats + xq_out + planes + stack
 
 
 def interlevel_interp_pallas(q_xyz: jax.Array, xq: jax.Array,
@@ -448,11 +459,7 @@ def _interlevel_call(q_xyz: jax.Array, xq: jax.Array,
     out_spec = pl.BlockSpec((1, 1, n, c_pad), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    q_tile = n
-    for cand in (104, 128, 64, 52, 8):
-        if n % cand == 0:
-            q_tile = cand
-            break
+    q_tile = _pick_q_tile(n)
 
     out = pl.pallas_call(
         _make_kernel(k, n, m_pad, c_pad, q_tile),
