@@ -55,15 +55,41 @@ P_TOP, N_SUB, N, C_FEAT, K, G = 8, 40, 312, 24, 32, 12
 M_PREV, C_PREV = 6240, 264
 
 rng = np.random.default_rng(0)
+_key_counter = [0]
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _gen_normal(shape):
+    return jax.jit(lambda key: jax.random.normal(key, shape, jnp.float32))
 
 
 def f32(*shape, scale=1.0):
-    return jnp.asarray(rng.standard_normal(shape).astype(np.float32)
-                       * scale)
+    """Fresh DEVICE-resident standard-normal array.
+
+    Generated on device from a per-call PRNG key: a distinct buffer
+    every call (defeats the tunnel's (executable, inputs) memoization)
+    with NO host->device transfer — fresh numpy inputs made the timed
+    region transfer-dominated (~47 MB/s tunnel: a (320,312,312) f32
+    operand alone is 125 MB ~ 2.7 s, dwarfing every op).  Residency is
+    forced in ``timeit`` before the timer starts.
+    """
+    _key_counter[0] += 1
+    out = _gen_normal(shape)(jax.random.PRNGKey(_key_counter[0]))
+    return out * scale if scale != 1.0 else out
+
+
+def _force_resident(args):
+    for a in args:
+        if isinstance(a, jax.Array):
+            float(jnp.asarray(a).ravel()[0].astype(jnp.float32))
 
 
 def timeit(fn, make_args, reps, tag, chained=None):
     args = make_args()
+    _force_resident(args)
     t0 = time.perf_counter()
     out = fn(*args)
     float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]
@@ -72,6 +98,7 @@ def timeit(fn, make_args, reps, tag, chained=None):
     ts = []
     for _ in range(reps):
         args = make_args()
+        _force_resident(args)
         t0 = time.perf_counter()
         out = fn(*args)
         float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]

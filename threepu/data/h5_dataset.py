@@ -74,6 +74,62 @@ def load_h5_data(h5_path: str, num_shape_point: int, up_ratio: int = 16,
     return data, labels, is_2d
 
 
+@partial(jax.jit,
+         static_argnames=("ratio", "batch_size", "num_patch_point",
+                          "phase", "jitter", "jitter_sigma", "jitter_max",
+                          "drop_out", "is_2d"))
+def _sample_impl(input_array: Array, label_array: Array, key: Array,
+                 shape_idx: Array, *, ratio: int, batch_size: int,
+                 num_patch_point: int, phase: str, jitter: bool,
+                 jitter_sigma: float, jitter_max: float, drop_out: float,
+                 is_2d: bool) -> Tuple[Array, Array]:
+    """One training batch from device-resident data.
+
+    Module-level on purpose: the data arrays are runtime ARGUMENTS.  An
+    earlier version jitted a ``DeviceDataset`` method with ``self``
+    static, which traced ``self.input_array``/``self.label_arrays`` as
+    compile-time constants — every new dataset instance recompiled the
+    sampler (~43 s of a 58 s 200-step run through the axon remote
+    compiler, measured by cProfile) and each executable embedded its
+    own copy of the dataset.  As arguments they hash by shape/dtype, so
+    all same-shape datasets share one compiled program.
+    """
+    k_seed, k_aug, k_drop = jax.random.split(key, 3)
+    shape = jax.lax.dynamic_index_in_dim(
+        input_array, shape_idx, keepdims=False)              # (N, 3)
+    label = jax.lax.dynamic_index_in_dim(
+        label_array, shape_idx, keepdims=False)
+
+    seed_idx = jax.random.randint(
+        k_seed, (batch_size,), 0, shape.shape[0])
+    seeds = shape[seed_idx]                                  # (B, 3)
+
+    input_patches = knn_group(
+        seeds[None], shape[None], num_patch_point
+    ).neighbors[0]                                           # (B, K, 3)
+    label_patches = knn_group(
+        seeds[None], label[None], num_patch_point * ratio
+    ).neighbors[0]                                           # (B, rK, 3)
+
+    if phase == "train":
+        input_patches, label_patches = augment_batch(
+            k_aug, input_patches, label_patches,
+            jitter=jitter, jitter_sigma=jitter_sigma,
+            jitter_max=jitter_max, is_2d=is_2d)
+    else:
+        from threepu.ops.normalize import normalize_point_batch_cl
+
+        label_patches, centroid, radius = normalize_point_batch_cl(
+            label_patches)
+        input_patches = (input_patches - centroid) / radius
+
+    if drop_out < 1.0:
+        keep = int(num_patch_point * drop_out)
+        perm = jax.random.permutation(k_drop, num_patch_point)
+        input_patches = input_patches[:, perm[:keep], :]
+    return input_patches, label_patches
+
+
 class DeviceDataset:
     """Dataset resident in device memory with jit-compiled sampling.
 
@@ -105,57 +161,18 @@ class DeviceDataset:
         self.step_ratio = step_ratio
         self.up_ratio = up_ratio
 
-    @partial(jax.jit, static_argnames=("self", "ratio"))
-    def _sample(self, key: Array, shape_idx: Array, ratio: int
-                ) -> Tuple[Array, Array]:
-        k_seed, k_aug, k_drop = jax.random.split(key, 3)
-        shape = jax.lax.dynamic_index_in_dim(
-            self.input_array, shape_idx, keepdims=False)     # (N, 3)
-        label = jax.lax.dynamic_index_in_dim(
-            self.label_arrays[ratio], shape_idx, keepdims=False)
-
-        seed_idx = jax.random.randint(
-            k_seed, (self.batch_size,), 0, shape.shape[0])
-        seeds = shape[seed_idx]                              # (B, 3)
-
-        input_patches = knn_group(
-            seeds[None], shape[None], self.num_patch_point
-        ).neighbors[0]                                       # (B, K, 3)
-        label_patches = knn_group(
-            seeds[None], label[None], self.num_patch_point * ratio
-        ).neighbors[0]                                       # (B, rK, 3)
-
-        if self.phase == "train":
-            input_patches, label_patches = augment_batch(
-                k_aug, input_patches, label_patches,
-                jitter=self.jitter, jitter_sigma=self.jitter_sigma,
-                jitter_max=self.jitter_max, is_2d=self.is_2d)
-        else:
-            from threepu.ops.normalize import normalize_point_batch_cl
-
-            label_patches, centroid, radius = normalize_point_batch_cl(
-                label_patches)
-            input_patches = (input_patches - centroid) / radius
-
-        if self.drop_out < 1.0:
-            keep = int(self.num_patch_point * self.drop_out)
-            perm = jax.random.permutation(k_drop, self.num_patch_point)
-            input_patches = input_patches[:, perm[:keep], :]
-        return input_patches, label_patches
-
     def sample(self, key: Array, step: int, ratio: int
                ) -> Tuple[Array, Array]:
         """(input (B, K', 3), label (B, rK, 3)) for the shape at
         ``step % num_shapes`` (sequential shape walk, ``data.py:180``)."""
         shape_idx = jnp.asarray(step % self.num_shapes, jnp.int32)
-        return self._sample(key, shape_idx, ratio)
-
-    def __hash__(self):  # allow use as jit static arg
-        return id(self)
-
-    def __eq__(self, other):
-        return self is other
-
+        return _sample_impl(
+            self.input_array, self.label_arrays[ratio], key, shape_idx,
+            ratio=ratio, batch_size=self.batch_size,
+            num_patch_point=self.num_patch_point, phase=self.phase,
+            jitter=self.jitter, jitter_sigma=self.jitter_sigma,
+            jitter_max=self.jitter_max, drop_out=self.drop_out,
+            is_2d=self.is_2d)
 
 class H5Dataset:
     """Reference-compatible wrapper (``data.py:16-196``): stateful
