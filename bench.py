@@ -7,8 +7,9 @@ patches, 16x, patch_num_ratio 3 — i.e. the full ``test()`` pipeline of
 cascade with re-patching/merging, final 80k FPS re-stitch) on one chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is 1.0: the reference repo ships no measured number to
-normalise against (see BASELINE.md).
+vs_baseline is null: the reference repo ships no measured number to
+normalise against (BASELINE.md — ``"published": {}``), and printing a
+constant 1.0 would read as a measured ratio.
 """
 
 import json
@@ -79,7 +80,9 @@ def main() -> None:
         "metric": "upsampled_points_per_sec_per_chip_16x_5000to80k",
         "value": round(pps, 1),
         "unit": "points/sec",
-        "vs_baseline": 1.0,
+        # no published reference number exists to normalise against
+        # (BASELINE.md); null instead of a constant that looks measured
+        "vs_baseline": None,
         "detail": {
             "wall_s_per_shape": round(best, 4),
             "compile_s": round(compile_s, 1),

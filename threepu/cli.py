@@ -94,7 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(same selection semantics; outputs set-"
                         "identical to exact-size compiles; try 1024)")
     p.add_argument("--profile_dir",
-                   help="write a jax.profiler trace of the first shape")
+                   help="profile the first shape: a jax.profiler trace "
+                        "where the backend supports it; under the axon "
+                        "TPU tunnel (which drops profiler data) a "
+                        "manual wall-clock summary is written instead "
+                        "(profile.json)")
     p.add_argument("--restitch_groups", type=int, default=1,
                    help="1 (default): exact final re-stitch FPS, the "
                         "reference semantics.  G>1: Morton-stratified "
