@@ -17,7 +17,20 @@ data?
 CPU-only (the reference runs through the torch-CPU bridge).
 
 Usage: python benchmarks/quality_head2head.py [--steps 300]
+           [--ratio 16 --curriculum]
 Results recorded in benchmarks/RESULTS.md.
+
+``--ratio 16 --curriculum`` is the flagship configuration
+(``Readme.md:31``): both sides train through a compressed 4-stage
+curriculum (``stage_steps = steps // 8`` so every stage, the combined
+sampling window and the Chamfer-threshold window are crossed — the
+``main.py:118-124,171-182`` schedule) and the held-out shape is
+upsampled 16x through each implementation's full re-patch/merge
+cascade.  The per-step (ratio, threshold) schedule is precomputed
+host-side from one seeded RNG so both sides see literally the same
+batches under the same loss configuration; internal sub-patch seeding
+(the train-mode re-patch at levels >1) stays each implementation's own
+randomness, as it does in real training.
 """
 
 import argparse
@@ -43,8 +56,9 @@ import numpy as np
 
 from train_demo import synth_dataset
 
-RATIO = 4  # levels 1-2; deep enough to need the interlevel skip,
-#            shallow enough that the torch-CPU side stays tractable
+# default ratio 4 = levels 1-2; deep enough to need the interlevel
+# skip, shallow enough that the torch-CPU side stays tractable.
+# --ratio 16 runs the flagship full cascade.
 HYPER = dict(max_up_ratio=16, step_ratio=2, knn=32, growth_rate=12,
              dense_n=3, fm_knn=5, max_num_point=312)
 
@@ -57,6 +71,7 @@ def chamfer_np(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def reference_upsample(ref, ref_net, shape: np.ndarray, num_point: int,
+                       ratio: int,
                        patch_num_ratio: float = 3.0) -> np.ndarray:
     """The reference ``test()``/``pc_prediction`` flow (``main.py:
     214-246,333-389``) on torch-CPU: normalize, FPS patch seeds, kNN
@@ -79,10 +94,10 @@ def reference_upsample(ref, ref_net, shape: np.ndarray, num_point: int,
             patch = patches[:, :, i, :]
             norm, cent, rad = ref.operations.normalize_point_batch(
                 patch, NCHW=True)
-            up = ref_net(norm, ratio=RATIO)
+            up = ref_net(norm, ratio=ratio)
             preds.append(up * rad + cent)
     merged = torch.cat(preds, dim=2)
-    _, out = ref.operations.furthest_point_sample(merged, n * RATIO)
+    _, out = ref.operations.furthest_point_sample(merged, n * ratio)
     out = out[0].numpy().T
     return out * furthest + centroid
 
@@ -91,7 +106,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--ratio", type=int, default=4,
+                    help="held-out upsample ratio (16 = flagship)")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="train through the compressed 4-stage "
+                         "curriculum (stage_steps = steps // 8) "
+                         "instead of a fixed ratio")
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test the harness with a tiny net "
+                         "(fast CPU compiles; NOT a quality result)")
     args = ap.parse_args()
+    if args.tiny:
+        # growth_rate/dense_n must stay at the defaults: the reference
+        # hardcodes its channel schedule (upsampler.py:212-224 literal
+        # 84/144/204/264) and only builds at growth 12, dense_n 3
+        HYPER.update(knn=8, fm_knn=3, max_num_point=64)
 
     import jax
 
@@ -122,7 +151,21 @@ def main() -> int:
         "poisson_40000_poisson_80000.hdf5"), n_shapes=1, seed=1234)
     with h5py.File(held_h5, "r") as f:
         held_in = f["poisson_5000"][0].astype(np.float32)
-        held_gt = f["poisson_20000"][0].astype(np.float32)  # 4x of 5000
+        # gt at args.ratio x the 5000-pt input
+        held_gt = f[f"poisson_{5000 * args.ratio}"][0].astype(np.float32)
+
+    # ---- per-step (ratio, threshold) schedule, shared by both sides
+    if args.curriculum:
+        from threepu.data.curriculum import curriculum_state
+
+        stage_steps = max(args.steps // 8, 1)
+        crng = np.random.default_rng(42)
+        schedule = []
+        for s in range(args.steps):
+            cur = curriculum_state(s, stage_steps, args.ratio, 2)
+            schedule.append((cur.choose_ratio(crng), cur.threshold))
+    else:
+        schedule = [(args.ratio, None)] * args.steps
 
     # ---- identical batches for both sides (threepu device sampler)
     dataset = DeviceDataset(train_h5, 5000, 312, batch_size=args.batch,
@@ -130,7 +173,8 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     batches = []
     for s in range(args.steps):
-        inp, gt = dataset.sample(jax.random.fold_in(key, s), s, RATIO)
+        inp, gt = dataset.sample(jax.random.fold_in(key, s), s,
+                                 schedule[s][0])
         batches.append((np.asarray(inp), np.asarray(gt)))
 
     # ---- identical initial weights via the .pth bridge
@@ -139,13 +183,11 @@ def main() -> int:
     ex_gt = jnp.asarray(batches[0][1])
     params = net.init({"params": jax.random.PRNGKey(1),
                        "patch": jax.random.PRNGKey(2)},
-                      ex_in, RATIO, ex_gt, train=True)["params"]
+                      ex_in, schedule[0][0], ex_gt, train=True)["params"]
     pth = save_pth(tmp, params, step=0, label="h2h", epoch=0)
     ref_net = make_reference_net(**HYPER)
     ref_net.load_state_dict(
         torch.load(pth, weights_only=False)["states"], strict=True)
-
-    weight = loss_weight(RATIO, 16, 2, "reference")
 
     # ---- threepu training
     tx = make_optimizer(5e-4)
@@ -154,10 +196,12 @@ def main() -> int:
     t0 = time.time()
     last_j = []
     for s, (x, gt) in enumerate(batches):
+        ratio_s, thresh_s = schedule[s]
         state, cd = train_step(net, tx, state, jax.random.fold_in(key, s),
-                               jnp.asarray(x), jnp.asarray(gt), RATIO,
+                               jnp.asarray(x), jnp.asarray(gt), ratio_s,
+                               threshold=thresh_s,
                                weight_mode="reference")
-        last_j.append(float(cd) * weight)
+        last_j.append(float(cd) * loss_weight(ratio_s, 16, 2, "reference"))
     t_j = time.time() - t0
     print(f"threepu: {args.steps} steps in {t_j:.1f}s "
           f"(last-20 loss {np.mean(last_j[-20:]):.5f})", flush=True)
@@ -173,11 +217,17 @@ def main() -> int:
     ref_net.train()
     t0 = time.time()
     last_t = []
-    for x, gt in batches:
+    for s, (x, gt) in enumerate(batches):
+        ratio_s, thresh_s = schedule[s]
+        if thresh_s is not None:
+            crit.set_threshold(thresh_s)
+        else:
+            crit.unset_threshold()
         opt.zero_grad()
-        out_t, gt_t = ref_net(to_t(x), ratio=RATIO, gt=to_t(gt))
+        out_t, gt_t = ref_net(to_t(x), ratio=ratio_s, gt=to_t(gt))
         loss = crit(out_t.transpose(1, 2).contiguous(),
-                    gt_t.transpose(1, 2).contiguous()) * weight
+                    gt_t.transpose(1, 2).contiguous()
+                    ) * loss_weight(ratio_s, 16, 2, "reference")
         loss.backward()
         torch.nn.utils.clip_grad_value_(ref_net.parameters(), 1)
         opt.step()
@@ -186,16 +236,23 @@ def main() -> int:
     print(f"reference: {args.steps} steps in {t_t:.1f}s "
           f"(last-20 loss {np.mean(last_t[-20:]):.5f})", flush=True)
 
-    # ---- held-out 4x upsample through each implementation's pipeline
-    _, up_j = upsample_shape(net, state.params, held_in, RATIO,
+    # ---- held-out upsample through each implementation's pipeline
+    t0 = time.time()
+    _, up_j = upsample_shape(net, state.params, held_in, args.ratio,
                              num_point=312, chunk=8)
     cd_j = chamfer_np(up_j, held_gt)
-    up_t = reference_upsample(ref, ref_net, held_in, 312)
+    t_ev_j = time.time() - t0
+    t0 = time.time()
+    up_t = reference_upsample(ref, ref_net, held_in, 312, args.ratio)
     cd_t = chamfer_np(up_t, held_gt)
+    t_ev_t = time.time() - t0
     cd_input = chamfer_np(held_in, held_gt)
 
     report = {
-        "steps": args.steps, "batch": args.batch, "ratio": RATIO,
+        "steps": args.steps, "batch": args.batch, "ratio": args.ratio,
+        "curriculum": bool(args.curriculum),
+        "eval_wall_s_threepu_cpu": round(t_ev_j, 1),
+        "eval_wall_s_reference_cpu": round(t_ev_t, 1),
         "train_loss_last20_threepu": round(float(np.mean(last_j[-20:])), 6),
         "train_loss_last20_reference": round(float(np.mean(last_t[-20:])), 6),
         "chamfer_heldout_threepu": cd_j,

@@ -68,7 +68,8 @@ def worker(args) -> int:
     cfg = TrainConfig(
         h5_data=h5, num_shape_point=5000, num_point=312,
         stage_steps=args.stage_steps, model_dir=model_dir,
-        ckpt=ckpt, ckpt_epochs=1, log_steps=500)
+        ckpt=ckpt, ckpt_epochs=1, log_steps=500,
+        jitter=args.jitter)
     if ckpt:
         print(f"resuming from {ckpt} (epoch {epoch})", flush=True)
 
@@ -139,7 +140,8 @@ def orchestrate(args) -> int:
     cmd = [sys.executable, "-u", os.path.abspath(__file__), "--worker",
            "--steps", str(args.steps),
            "--stage_steps", str(args.stage_steps),
-           "--workdir", args.workdir]
+           "--workdir", args.workdir] + (
+               ["--jitter"] if args.jitter else [])
     log1 = open(os.path.join(args.workdir, "phase1.log"), "w")
     t0 = time.time()
     p = subprocess.Popen(cmd, stdout=log1, stderr=subprocess.STDOUT)
@@ -182,6 +184,10 @@ def main() -> int:
     ap.add_argument("--steps", type=int, default=120000)
     ap.add_argument("--stage_steps", type=int, default=15000)
     ap.add_argument("--kill_after_s", type=float, default=1500.0)
+    ap.add_argument("--jitter", action="store_true",
+                    help="train with input jitter (the reference's "
+                         "scan configuration, main.py:53-58 — the "
+                         "final_scan.pth recipe)")
     ap.add_argument("--workdir", default="/tmp/threepu_prod")
     args = ap.parse_args()
     return worker(args) if args.worker else orchestrate(args)
