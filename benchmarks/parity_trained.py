@@ -38,11 +38,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# --platform tpu runs the threepu side on the chip (the torch reference
+# is CPU either way; every assertion is set-level / loss-level, robust
+# to cross-device rounding).  CPU is the default for bit-comparable
+# conditions, but the full-size 16x whole-shape eval costs ~an hour of
+# CPU vs ~seconds on the chip.  Platform must be pinned BEFORE any jax
+# import (CLAUDE.md: the axon site hook overrides env-based selection).
+_PLATFORM = ("tpu" if "--platform" in sys.argv
+             and sys.argv[sys.argv.index("--platform") + 1] == "tpu"
+             else "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -68,7 +78,12 @@ def main() -> int:
     ap.add_argument("--patches", type=int, default=3,
                     help="number of real surface patches for the "
                          "patch-level 16x check")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="device for the threepu side (parsed before "
+                         "jax initializes; reference torch is CPU "
+                         "either way)")
     args = ap.parse_args()
+    print("threepu platform:", jax.default_backend(), flush=True)
 
     import h5py
     import jax.numpy as jnp

@@ -43,14 +43,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# --platform tpu runs the threepu side on the chip (torch reference is
+# CPU either way; the comparison is quality-level, robust to device
+# rounding).  Must be decided BEFORE any jax import — the axon site
+# hook overrides env-based selection (CLAUDE.md).
+_PLATFORM = ("tpu" if "--platform" in sys.argv
+             and sys.argv[sys.argv.index("--platform") + 1] == "tpu"
+             else "cpu")
 
 import jax
 
-# the env var alone is NOT honored when a site hook registers an
-# accelerator plugin at interpreter start (the axon tunnel does);
-# jax.config wins as long as no backend is initialized yet
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # the env var alone is NOT honored when a site hook registers an
+    # accelerator plugin at interpreter start (the axon tunnel does);
+    # jax.config wins as long as no backend is initialized yet
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -115,7 +123,12 @@ def main() -> int:
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test the harness with a tiny net "
                          "(fast CPU compiles; NOT a quality result)")
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="device for the threepu side (parsed before "
+                         "jax initializes; reference torch is CPU "
+                         "either way)")
     args = ap.parse_args()
+    print("threepu platform:", jax.default_backend(), flush=True)
     if args.tiny:
         # growth_rate/dense_n must stay at the defaults: the reference
         # hardcodes its channel schedule (upsampler.py:212-224 literal
@@ -124,7 +137,8 @@ def main() -> int:
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if _PLATFORM == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import h5py
     import jax.numpy as jnp
