@@ -36,7 +36,8 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
     from threepu.models import Net
-    from threepu.inference import upsample_point_cloud
+    from threepu.inference import (upsample_point_cloud,
+                                   resolve_restitch_groups)
 
     n_shape, ratio, num_point = 5000, 16, 312
     num_out = n_shape * ratio
@@ -88,6 +89,10 @@ def main() -> None:
             "compile_s": round(compile_s, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            # round-4 default: G=8 hierarchical restitch at >= 16384
+            # output points (quality-equal at trained weights,
+            # benchmarks/restitch_quality.py)
+            "restitch_groups": resolve_restitch_groups(None, num_out),
         },
     }))
 

@@ -128,17 +128,14 @@ def main() -> int:
                          "jax initializes; reference torch is CPU "
                          "either way)")
     args = ap.parse_args()
-    print("threepu platform:", jax.default_backend(), flush=True)
     if args.tiny:
         # growth_rate/dense_n must stay at the defaults: the reference
         # hardcodes its channel schedule (upsampler.py:212-224 literal
         # 84/144/204/264) and only builds at growth 12, dense_n 3
         HYPER.update(knn=8, fm_knn=3, max_num_point=64)
 
-    import jax
-
-    if _PLATFORM == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    # jax is imported (and the platform pinned) at module level
+    print("threepu platform:", jax.default_backend(), flush=True)
 
     import h5py
     import jax.numpy as jnp
@@ -252,8 +249,10 @@ def main() -> int:
 
     # ---- held-out upsample through each implementation's pipeline
     t0 = time.time()
+    # restitch_groups=1: the reference side uses the exact final FPS;
+    # the head-to-head keeps both pipelines reference-exact
     _, up_j = upsample_shape(net, state.params, held_in, args.ratio,
-                             num_point=312, chunk=8)
+                             num_point=312, chunk=8, restitch_groups=1)
     cd_j = chamfer_np(up_j, held_gt)
     t_ev_j = time.time() - t0
     t0 = time.time()

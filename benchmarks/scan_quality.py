@@ -79,14 +79,18 @@ def main() -> int:
         rows = {"step": int(step), "clean": [], "jittered": [],
                 "input_baseline": [], "jittered_s_per_shape": []}
         for i, (inp, gt) in enumerate(shapes):
+            # restitch_groups=1 pinned: the recorded clean-model run
+            # used the exact restitch; keep the clean/scan A/B at the
+            # same selection semantics across rounds
             _, up = upsample_shape(net, params, inp, 16, num_point=312,
-                                   chunk=8)
+                                   chunk=8, restitch_groups=1)
             rows["clean"].append(cd(up, gt))
             t0 = time.time()
             # jitter=True applies the reference's perturbation to the
             # normalized input inside the pipeline (main.py:356-357)
             _, upj = upsample_shape(net, params, inp, 16, num_point=312,
-                                    chunk=8, jitter=True,
+                                    chunk=8, restitch_groups=1,
+                                    jitter=True,
                                     jitter_sigma=args.jitter_sigma,
                                     jitter_max=args.jitter_max,
                                     seed=100 + i)

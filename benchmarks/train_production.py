@@ -114,8 +114,10 @@ def worker(args) -> int:
             gt = f["poisson_80000"][0].astype(np.float32)
         net = build_net(cfg)
         t0 = time.time()
+        # restitch_groups=1 pinned: held-out scores stay comparable
+        # across rounds (prod_clean ran before the hierarchical default)
         _, up = upsample_shape(net, state.params, inp, 16,
-                               num_point=312, chunk=8)
+                               num_point=312, chunk=8, restitch_groups=1)
         up = np.asarray(up)
         cd = float(chamfer_loss(jnp.asarray(up)[None],
                                 jnp.asarray(gt)[None]))

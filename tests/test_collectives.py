@@ -156,3 +156,30 @@ class TestShardedInferenceCollectives:
         offenders = [c for c in collectives(compiled_text)
                      if "while" in c[2] or "fps" in c[2] or "top_k" in c[2]]
         assert offenders == [], offenders
+
+    def test_hierarchical_restitch_same_discipline(self):
+        """The G>1 Morton-stratified restitch (the round-4 default on
+        large outputs) must keep the textbook communication shape under
+        a mesh: one merge all-gather, zero collectives in the grouped
+        FPS / sort machinery (CLAUDE.md: audit every new sharded
+        program variant before trusting its scaling)."""
+        from threepu.inference import upsample_point_cloud
+        rng = np.random.default_rng(0)
+        net = _tiny_net()
+        shape = jnp.asarray(
+            rng.standard_normal((128, 3)).astype(np.float32))
+        params = net.init({"params": jax.random.PRNGKey(0),
+                           "patch": jax.random.PRNGKey(1)},
+                          jnp.zeros((1, 16, 3)), 4, jnp.zeros((1, 64, 3)),
+                          train=True)["params"]
+        mesh = make_mesh(8)
+        text = upsample_point_cloud.lower(
+            net, params, shape, 2, 16, 256, chunk=4, mesh=mesh,
+            restitch_groups=2).compile().as_text()
+        colls = collectives(text)
+        assert 1 <= len(colls) <= 2, colls
+        assert all(c[0] == "all-gather" for c in colls), colls
+        offenders = [c for c in colls
+                     if "while" in c[2] or "fps" in c[2]
+                     or "top_k" in c[2] or "sort" in c[2]]
+        assert offenders == [], offenders

@@ -82,6 +82,18 @@ class TestLoadH5:
         assert data.shape[1] == 32      # 30 -> next available 32
         assert labels[4].shape[1] == 128
 
+    def test_nonconvention_filename_message(self, h5_file, tmp_path):
+        """A file that doesn't follow the '<prefix>_<tag>_<n>_...'
+        naming must fail with the convention spelled out, not an
+        IndexError (hit in practice by a held-out split named
+        'held.hdf5')."""
+        import shutil
+
+        bad = str(tmp_path / "held.hdf5")
+        shutil.copy(h5_file, bad)
+        with pytest.raises(ValueError, match="filename convention"):
+            load_h5_data(bad, 32, 16, 2)
+
 
 class TestSyntheticData:
     def test_generated_file_loads(self, tmp_path):

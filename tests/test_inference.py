@@ -145,6 +145,30 @@ class TestUpsamplePointCloud:
             exact[:, None] - exact[None], axis=-1), axis=1)[:, 1].mean()
         assert nn.mean() < 2.0 * spacing
 
+    def test_restitch_default_resolution(self, net_and_params, shape):
+        """The unset (None) default resolves size-gated: reference-exact
+        below RESTITCH_AUTO_MIN_OUT (small shapes keep bit-parity with
+        the reference's final FPS), G=8 hierarchical above (settled at
+        trained weights, benchmarks/restitch_quality.py)."""
+        from threepu.inference import (DEFAULT_RESTITCH_GROUPS,
+                                       RESTITCH_AUTO_MIN_OUT,
+                                       resolve_restitch_groups)
+        assert resolve_restitch_groups(None, RESTITCH_AUTO_MIN_OUT) == \
+            DEFAULT_RESTITCH_GROUPS
+        assert resolve_restitch_groups(None,
+                                       RESTITCH_AUTO_MIN_OUT - 1) == 1
+        assert resolve_restitch_groups(1, 10 ** 6) == 1   # explicit wins
+        assert resolve_restitch_groups(4, 16) == 4
+        # below the gate the unset default is bit-identical to exact
+        net, params = net_and_params
+        auto = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(shape), 2, num_point=16,
+            num_out=256, chunk=4))
+        exact = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(shape), 2, num_point=16,
+            num_out=256, chunk=4, restitch_groups=1))
+        np.testing.assert_array_equal(auto, exact)
+
 
 class TestShardedInference:
     def test_matches_single_device(self, net_and_params, shape):

@@ -369,6 +369,124 @@ class TestKnnApprox:
             ops.knn_group(q, q, 2, method="bogus")
 
 
+class TestSplitSelect:
+    """The two-stage exact selection (`ops/knn.py::_split_select`) must
+    be bit-identical to direct lax.top_k — values AND indices, i.e.
+    identical tie-breaking — under mass ties (the dedup penalty columns
+    are exactly such a tie group at 1e30)."""
+
+    def _cases(self, rng):
+        n = 312
+        # quantized values force many value ties; a block of 1e30
+        # penalty columns reproduces the unique/valid sentinel pattern
+        d = rng.integers(0, 40, (4, 37, n)).astype(np.float32)
+        d[..., rng.permutation(n)[:64]] = 1e30
+        yield jnp.asarray(d)
+        # all-tied row (every candidate equal): pure index ordering
+        yield jnp.ones((2, 5, n), jnp.float32)
+        # real distance matrix with exact duplicate points
+        pts = rng.standard_normal((2, n, 3)).astype(np.float32)
+        pts[:, 1::7] = pts[:, 0::7]  # duplicates -> exact distance ties
+        pts_j = jnp.asarray(pts)
+        yield ops.distances.pairwise_dist2(pts_j, pts_j)
+
+    def test_bit_identical_to_topk(self, rng):
+        from threepu.ops.knn import _split_select
+        k = 33
+        for d in self._cases(rng):
+            ref_v, ref_i = jax.lax.top_k(-d, k)
+            for s in (2, 3, 4, 6, 8):
+                v, i = _split_select(d, k, s)
+                np.testing.assert_array_equal(np.asarray(i),
+                                              np.asarray(ref_i), err_msg=f"s={s}")
+                np.testing.assert_array_equal(np.asarray(v),
+                                              np.asarray(-ref_v), err_msg=f"s={s}")
+
+    def test_exact_select_dispatch_and_fallback(self, rng):
+        """EXACT_SPLITS engages only when n % s == 0 and k fits in a
+        split; otherwise the direct path runs — results identical
+        either way."""
+        from threepu.ops import knn as knn_mod
+        d = jnp.asarray(
+            rng.standard_normal((3, 8, 310)).astype(np.float32))  # 310 % 4 != 0
+        d312 = jnp.asarray(
+            rng.standard_normal((3, 8, 312)).astype(np.float32))
+        ref310 = jax.lax.top_k(-d, 5)[1]
+        ref312 = jax.lax.top_k(-d312, 5)[1]
+        knn_mod.set_exact_splits(4)
+        try:
+            np.testing.assert_array_equal(
+                np.asarray(knn_mod._exact_select(d, 5)[1]),
+                np.asarray(ref310))
+            np.testing.assert_array_equal(
+                np.asarray(knn_mod._exact_select(d312, 5)[1]),
+                np.asarray(ref312))
+            # end-to-end: knn_group with splits on == splits off
+            q = jnp.asarray(
+                rng.standard_normal((2, 20, 3)).astype(np.float32))
+            p = jnp.asarray(
+                rng.standard_normal((2, 312, 3)).astype(np.float32))
+            with_split = ops.knn_group(q, p, 8, unique=True)
+            knn_mod.set_exact_splits(0)
+            without = ops.knn_group(q, p, 8, unique=True)
+            np.testing.assert_array_equal(np.asarray(with_split.idx),
+                                          np.asarray(without.idx))
+        finally:
+            knn_mod.set_exact_splits(0)
+
+
+class TestSelectPallas:
+    """The Pallas min-extraction selection kernel
+    (`ops/select_pallas.py`) must be bit-identical to direct
+    lax.top_k — values AND indices, i.e. identical tie-breaking — on
+    the same tie-heavy cases as TestSplitSelect (interpret mode; the
+    real-hardware twin lives in `benchmarks/tpu_checks.py`)."""
+
+    def _cases(self, rng):
+        n = 312
+        d = rng.integers(0, 40, (4, 37, n)).astype(np.float32)
+        d[..., rng.permutation(n)[:64]] = 1e30  # dedup penalty block
+        yield jnp.asarray(d), 33
+        yield jnp.ones((2, 5, n), jnp.float32), 7        # all ties
+        yield jnp.asarray(                                # 2D, n%128!=0
+            rng.standard_normal((8, 200)).astype(np.float32)), 5
+        pts = rng.standard_normal((2, n, 3)).astype(np.float32)
+        pts[:, 1::7] = pts[:, 0::7]  # duplicate points -> exact ties
+        pts_j = jnp.asarray(pts)
+        yield ops.distances.pairwise_dist2(pts_j, pts_j), 33
+
+    def test_bit_identical_to_topk(self, rng):
+        from threepu.ops.select_pallas import select_pallas
+        for d, k in self._cases(rng):
+            ref_v, ref_i = jax.lax.top_k(-d, k)
+            v, i = select_pallas(d, k, interpret=True)
+            np.testing.assert_array_equal(np.asarray(i),
+                                          np.asarray(ref_i))
+            np.testing.assert_array_equal(np.asarray(v),
+                                          np.asarray(-ref_v))
+
+    def test_k_exceeds_n_raises(self, rng):
+        from threepu.ops.select_pallas import select_pallas
+        with pytest.raises(ValueError, match="exceeds"):
+            select_pallas(jnp.ones((2, 4, 8)), 9, interpret=True)
+
+    def test_dispatch_gating(self, rng):
+        """The knob routes through the kernel only on TPU (trace-time
+        backend check): on CPU the direct path must run and results
+        stay identical with the knob on."""
+        from threepu.ops import knn as knn_mod
+        d = jnp.asarray(
+            rng.standard_normal((3, 8, 312)).astype(np.float32))
+        ref = jax.lax.top_k(-d, 5)[1]
+        knn_mod.set_exact_select_pallas(True)
+        try:
+            np.testing.assert_array_equal(
+                np.asarray(knn_mod._exact_select(d, 5)[1]),
+                np.asarray(ref))
+        finally:
+            knn_mod.set_exact_select_pallas(False)
+
+
 class TestNnDistancePallas:
     def test_interpret_matches_xla(self, rng):
         """Pallas nn_distance kernel (interpret mode) vs the chunked XLA

@@ -99,14 +99,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "TPU tunnel (which drops profiler data) a "
                         "manual wall-clock summary is written instead "
                         "(profile.json)")
-    p.add_argument("--restitch_groups", type=int, default=1,
-                   help="1 (default): exact final re-stitch FPS, the "
-                        "reference semantics.  G>1: Morton-stratified "
-                        "hierarchical FPS over G spatial groups — ~G-fold "
-                        "faster re-stitch at a measured ~1-4%% coverage-"
-                        "radius cost (benchmarks/fps_quality.py); the "
-                        "same approximation very large merges use "
-                        "unconditionally")
+    p.add_argument("--restitch_groups", type=int, default=None,
+                   help="final re-stitch FPS grouping.  Default auto: "
+                        "G=8 Morton-stratified hierarchical FPS on "
+                        "large outputs (>= 16384 points; held-out "
+                        "Chamfer equal to exact at trained weights, "
+                        "+8%% throughput, ~5x faster compile — "
+                        "benchmarks/restitch_quality.py), exact below. "
+                        "1: the reference's exact final FPS "
+                        "(main.py:379-380) everywhere.  G>1: force "
+                        "hierarchical with G spatial groups")
     return p
 
 

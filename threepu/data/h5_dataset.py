@@ -46,7 +46,17 @@ def load_h5_data(h5_path: str, num_shape_point: int, up_ratio: int = 16,
     basename = os.path.basename(h5_path)
     resolutions = sorted(int(x) for x in re.findall(r"\d+", basename[:-5]))
     resolutions = np.asarray(resolutions)
-    tag = re.findall(r"_([A-Za-z]+)_", basename)[-1]
+    tags = re.findall(r"_([A-Za-z]+)_", basename)
+    if not tags or resolutions.size == 0:
+        # fail with the convention spelled out instead of an IndexError
+        # (the reference shares this convention: main.py reads dataset
+        # names like {tag}_{n} keyed by the training-file name)
+        raise ValueError(
+            f"{basename!r} does not follow the training-data filename "
+            "convention '<prefix>_<tag>_<n1>_<tag>_<n2>_....hdf5' "
+            "(e.g. 'train_poisson_310_poisson_625_..._poisson_80000"
+            ".hdf5'); the dataset keys '<tag>_<n>' are derived from it")
+    tag = tags[-1]
     num_in = int(resolutions[np.searchsorted(resolutions, num_shape_point)])
 
     with h5py.File(h5_path, "r") as f:

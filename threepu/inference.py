@@ -48,6 +48,30 @@ def plan_patches(num_shape_point: int, num_point: int,
     return num_patches, padded, chunk
 
 
+#: default group count for the hierarchical final restitch, and the
+#: pick count from which it engages when ``restitch_groups`` is left
+#: unset.  Settled in round 4 at TRAINED weights (120k-step production
+#: checkpoint, ``benchmarks/restitch_quality.py``): G=8 held-out 16x
+#: Chamfer 3.505e-4 vs exact G=1 3.518e-4 (equal within noise — the
+#: G-to-G selection difference is 0.4x the output's own NN spacing^2),
+#: input-coverage identical to 4 digits, +8% headline throughput and
+#: ~5x faster compile (the 80k sequential pick chain shrinks G-fold).
+#: Below the gate the pick chain is short, hierarchy buys nothing, and
+#: the reference-exact FPS (``main.py:379-380``) is kept for
+#: bit-parity.  Pass ``restitch_groups=1`` to force exact everywhere.
+DEFAULT_RESTITCH_GROUPS = 8
+RESTITCH_AUTO_MIN_OUT = 16384
+
+
+def resolve_restitch_groups(requested: Optional[int],
+                            num_out: int) -> int:
+    """Resolve the ``restitch_groups`` argument (``None`` = auto)."""
+    if requested is not None:
+        return requested
+    return DEFAULT_RESTITCH_GROUPS if num_out >= RESTITCH_AUTO_MIN_OUT \
+        else 1
+
+
 @partial(jax.jit,
          static_argnames=("net", "ratio", "num_point", "num_out",
                           "patch_num_ratio", "chunk", "mesh",
@@ -59,7 +83,7 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
                          valid_n: Optional[Array] = None,
                          valid_patches: Optional[Array] = None,
                          mesh=None, axis_name: str = "data",
-                         restitch_groups: int = 1) -> Array:
+                         restitch_groups: Optional[int] = None) -> Array:
     """Upsample one (normalized) shape.
 
     Args:
@@ -91,12 +115,17 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
         program with XLA-chosen shardings.  Every serial-path feature
         (bucketing, ``valid_n`` masking, outlier-masked sub-patching)
         applies identically — there is ONE pipeline.
-      restitch_groups: 1 (default) keeps the reference's exact final
-        FPS (``main.py:379-380``).  G > 1 runs the final re-stitch as
-        Morton-stratified hierarchical FPS over G spatial groups — the
-        same documented approximation large clouds use unconditionally
-        above :data:`~threepu.ops.fps.PALLAS_MAX_N` points (coverage
-        radius within ~1-4% of exact at G=2..8,
+      restitch_groups: ``None`` (default) = auto: G=8 hierarchical
+        restitch for large outputs (``num_out >=``
+        :data:`RESTITCH_AUTO_MIN_OUT`), reference-exact FPS below —
+        see :data:`DEFAULT_RESTITCH_GROUPS` for the trained-weights
+        quality measurement behind the default.  1 keeps the
+        reference's exact final FPS (``main.py:379-380``) everywhere.
+        G > 1 runs the final re-stitch as Morton-stratified
+        hierarchical FPS over G spatial groups — the same documented
+        approximation large clouds use unconditionally above
+        :data:`~threepu.ops.fps.PALLAS_MAX_N` points (coverage radius
+        within ~1-4% of exact at G=2..8,
         ``benchmarks/fps_quality.py``) — cutting the restitch's
         sequential pick chain (and its wall-clock) ~G-fold.  Only the
         final merge FPS is affected; seed selection stays exact.
@@ -178,6 +207,7 @@ def upsample_point_cloud(net: Net, params, xyz: Array, ratio: int,
         valid = (jnp.arange(padded)[:, None] < patch_limit)
         valid = jnp.broadcast_to(
             valid, (padded, num_point * ratio)).reshape(1, -1)
+    restitch_groups = resolve_restitch_groups(restitch_groups, num_out)
     if restitch_groups > 1:
         # cap at the kernel's VMEM bound: a small requested group count
         # on a huge merge must not produce groups the Pallas kernel
@@ -214,7 +244,7 @@ def upsample_shape(net: Net, params, points: np.ndarray, ratio: int,
                    seed: int = 0,
                    bucket: Optional[int] = None,
                    mesh=None,
-                   restitch_groups: int = 1
+                   restitch_groups: Optional[int] = None
                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-facing convenience mirroring ``test()``'s per-file flow
     (``main.py:341-389``): optional FPS drop-out, normalize, optional

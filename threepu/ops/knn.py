@@ -96,6 +96,101 @@ def _sort_select(d: jax.Array, k: int):
     return sd[..., :k], si[..., :k]
 
 
+#: number of contiguous splits for the two-stage EXACT selection
+#: (:func:`_split_select`); 0 disables it (direct ``lax.top_k``).
+#: Motivation (round 4, ``benchmarks/eval_gap.py``): the eval cascade
+#: is selection-bound — ``lax.top_k`` k=33 over (320,312,312) costs
+#: 14.9 ms/conv while ``approx_min_k`` runs the same site at 9.9 ms by
+#: reducing per-partition first.  The split select applies the same
+#: partial-reduce structure WITHOUT the semantics change: per-split
+#:  top_k -> merge -> top_k is exact and bit-identical to direct
+#: ``lax.top_k`` including tie-breaking.  Default set by on-chip
+#: measurement (``benchmarks/select_bench.py``).
+EXACT_SPLITS = 0
+
+
+def set_exact_splits(s: int) -> None:
+    """Set the split count for exact selection (0 = direct top_k).
+    Trace-time, like :func:`set_knn_method`."""
+    global EXACT_SPLITS
+    EXACT_SPLITS = int(s)
+
+
+def _split_select(d: jax.Array, k: int, s: int):
+    """Two-stage EXACT k-smallest selection: split the candidate axis
+    into ``s`` contiguous blocks, ``top_k`` each, merge the ``s*k``
+    survivors, ``top_k`` again.
+
+    Exactness: every one of the k overall smallest is among its own
+    block's k smallest, so the merge set contains the answer.
+
+    Bit-identical tie-breaking vs direct ``lax.top_k`` (which returns
+    equal values lowest-index-first): blocks are contiguous, so the
+    merge vector — ordered block-major, value-sorted (lowest-index-
+    first) within each block — lists every group of equal values in
+    ascending global-index order, and the final ``top_k``'s
+    lowest-POSITION preference therefore picks lowest global index.
+    Verified against top_k on mass-tie inputs (the dedup penalty
+    columns are exactly such a tie group) in
+    ``tests/test_ops.py::TestSplitSelect``.
+
+    Requires ``n % s == 0`` and ``k <= n // s`` (callers fall back to
+    direct top_k otherwise).
+    """
+    *lead, n = d.shape
+    m = n // s
+    dr = d.reshape(*lead, s, m)
+    neg_v, li = jax.lax.top_k(-dr, k)                   # (*lead, s, k)
+    gi = li + (jnp.arange(s, dtype=jnp.int32) * m)[:, None]
+    cand_v = neg_v.reshape(*lead, s * k)
+    cand_i = gi.reshape(*lead, s * k)
+    neg_top, pos = jax.lax.top_k(cand_v, k)
+    idx = jnp.take_along_axis(cand_i, pos, axis=-1)
+    return -neg_top, idx
+
+
+#: dispatch exact selection to the Pallas min-extraction kernel
+#: (:func:`threepu.ops.select_pallas.select_pallas`, bit-identical to
+#: ``lax.top_k`` including tie-breaking) on TPU when the per-program
+#: block fits VMEM comfortably.  Default set by on-chip measurement
+#: (``benchmarks/select_pallas_bench.py``; ``lax.top_k`` lowers to a
+#: full variadic sort, ~100x off the roofline at the conv site).
+EXACT_SELECT_PALLAS = False
+#: block cap for the kernel path: M * N_pad f32 elements per program
+#: (the conv site (312, 384) is 0.12M; 4M f32 = 16 MB VMEM ceiling
+#: with transients — stay an order below it).
+_PALLAS_SELECT_MAX_BLOCK = 1 << 20
+
+
+def set_exact_select_pallas(enabled: bool) -> None:
+    """Route exact selection through the Pallas kernel (trace-time,
+    like :func:`set_knn_method`; TPU only, same results bit-for-bit)."""
+    global EXACT_SELECT_PALLAS
+    EXACT_SELECT_PALLAS = bool(enabled)
+
+
+def _exact_select(d: jax.Array, k: int):
+    """Exact selection: direct ``lax.top_k``, or a bit-identical
+    variant when enabled and applicable."""
+    n = d.shape[-1]
+    if (EXACT_SELECT_PALLAS and d.ndim >= 2
+            and jax.default_backend() == "tpu"
+            # m >= 8: a near-empty row block would add a whole kernel
+            # instance (~60-100s axon remote compile, CLAUDE.md) to a
+            # site where top_k is already cheap (e.g. the m=1 outlier
+            # check)
+            and d.shape[-2] >= 8
+            and d.shape[-2] * (-(-n // 128) * 128)
+            <= _PALLAS_SELECT_MAX_BLOCK):
+        from threepu.ops.select_pallas import select_pallas
+        return select_pallas(d, k)
+    s = EXACT_SPLITS
+    if s > 1 and n % s == 0 and k <= n // s:
+        return _split_select(d, k, s)
+    neg_top, idx = jax.lax.top_k(-d, k)
+    return -neg_top, idx
+
+
 def set_knn_method(method: str) -> None:
     """Set the global default kNN selection backend (trace-time)."""
     global DEFAULT_METHOD
@@ -173,8 +268,7 @@ def knn_group(
     elif method == "sort" or (method == "exact" and _PARTITION_SAFE):
         dist2, idx = _sort_select(d, k)
     elif method == "exact":
-        neg_top, idx = jax.lax.top_k(-d, k)  # (..., M, k)
-        dist2 = -neg_top
+        dist2, idx = _exact_select(d, k)
     else:
         raise ValueError(f"unknown knn method {method!r}")
     idx = idx.astype(jnp.int32)
