@@ -17,10 +17,14 @@ reference torch net (``load_state_dict(strict=True)``), and asserts:
    5000-pt shape, both 80k outputs scored against each other and
    against the dense ground truth;
 3. a short optimizer trajectory FROM the trained weights (Adam 5e-4 +
-   value-clip 1.0, identical batches) — losses track and parameters
-   stay close at converged-activation statistics.
+   value-clip 1.0, identical batches, matmul precision pinned HIGHEST
+   so the comparison is fp32-vs-fp32 algorithm parity, not a
+   measurement of the TPU's bf16 MXU passes) — losses track within
+   what a 1e-6 weight perturbation of threepu itself produces (the
+   chaotic-divergence control).
 
-CPU-only (the reference runs through the torch-CPU bridge).
+The reference side always runs through the torch-CPU bridge;
+``--platform tpu`` puts the threepu side on the chip.
 
 Usage:
     python benchmarks/parity_trained.py --ckpt runs/prod_clean/model/model_final.npz \
@@ -82,6 +86,11 @@ def main() -> int:
                     help="device for the threepu side (parsed before "
                          "jax initializes; reference torch is CPU "
                          "either way)")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="skip sections 1-2 (patch/shape eval) and run "
+                         "only the optimizer-trajectory section; the "
+                         "pass criterion then covers the trajectory "
+                         "alone")
     args = ap.parse_args()
     print("threepu platform:", jax.default_backend(), flush=True)
 
@@ -129,15 +138,18 @@ def main() -> int:
     # production ones, then pushed through BOTH 16x cascades.
     from threepu.ops import normalize_point_batch
 
+    ref_net.eval()
+    flips, cds = [], []
+    cd_between = 0.0
+    cd_j = cd_t = 1.0
+    spacing2 = 1.0
     shape_j = jnp.asarray(held_in)[None]                     # (1, N, 3)
     seeds = furthest_point_sample(shape_j, args.patches, NCHW=False)[1]
     patches = group_knn(312, seeds, shape_j, NCHW=False)[0]  # (1,P,312,3)
     patches = patches.reshape(args.patches, 312, 3)
     patches, _, _ = normalize_point_batch(patches, NCHW=False)
 
-    ref_net.eval()
-    flips, cds = [], []
-    for i in range(args.patches):
+    for i in range(0 if args.skip_eval else args.patches):
         pj = patches[i][None]
         out_j = np.asarray(net.apply({"params": params}, pj, 16,
                                      train=False))
@@ -156,34 +168,37 @@ def main() -> int:
           f"chamfer(threepu, reference) {cds}", flush=True)
 
     # ---- 2. whole-shape 16x through both full pipelines --------------
-    t0 = time.time()
-    # restitch_groups=1: parity vs the reference's exact final FPS
-    # (main.py:379-380) must compare like with like, independent of the
-    # pipeline's hierarchical-restitch default
-    _, up_j = upsample_shape(net, params, held_in, 16, num_point=312,
-                             chunk=8, restitch_groups=1)
-    t_j = time.time() - t0
-    t0 = time.time()
-    up_t = reference_upsample(ref, ref_net, held_in, 312, 16)
-    t_t = time.time() - t0
-    cd_between = chamfer_np(up_j, up_t)
-    cd_j = chamfer_np(up_j, held_gt)
-    cd_t = chamfer_np(up_t, held_gt)
-    # output NN spacing^2 (nearest OTHER point): the natural scale for
-    # "the same point set"
-    from threepu.ops.chamfer import self_nn_dist2
-    spacing2 = float(jnp.median(self_nn_dist2(jnp.asarray(up_j)[None])))
-    report.update({
-        "shape16x_chamfer_between": cd_between,
-        "shape16x_chamfer_threepu_vs_gt": cd_j,
-        "shape16x_chamfer_reference_vs_gt": cd_t,
-        "output_nn_spacing2": spacing2,
-        "eval_wall_s_threepu_cpu": round(t_j, 1),
-        "eval_wall_s_reference_cpu": round(t_t, 1),
-    })
-    print(f"whole-shape 16x: chamfer(threepu, ref) {cd_between:.3e} "
-          f"(spacing^2 {spacing2:.3e}); vs gt {cd_j:.3e} / {cd_t:.3e}",
-          flush=True)
+    if not args.skip_eval:
+        t0 = time.time()
+        # restitch_groups=1: parity vs the reference's exact final FPS
+        # (main.py:379-380) must compare like with like, independent of
+        # the pipeline's hierarchical-restitch default
+        _, up_j = upsample_shape(net, params, held_in, 16,
+                                 num_point=312, chunk=8,
+                                 restitch_groups=1)
+        t_j = time.time() - t0
+        t0 = time.time()
+        up_t = reference_upsample(ref, ref_net, held_in, 312, 16)
+        t_t = time.time() - t0
+        cd_between = chamfer_np(up_j, up_t)
+        cd_j = chamfer_np(up_j, held_gt)
+        cd_t = chamfer_np(up_t, held_gt)
+        # output NN spacing^2 (nearest OTHER point): the natural scale
+        # for "the same point set"
+        from threepu.ops.chamfer import self_nn_dist2
+        spacing2 = float(jnp.median(
+            self_nn_dist2(jnp.asarray(up_j)[None])))
+        report.update({
+            "shape16x_chamfer_between": cd_between,
+            "shape16x_chamfer_threepu_vs_gt": cd_j,
+            "shape16x_chamfer_reference_vs_gt": cd_t,
+            "output_nn_spacing2": spacing2,
+            "eval_wall_s_threepu": round(t_j, 1),
+            "eval_wall_s_reference": round(t_t, 1),
+        })
+        print(f"whole-shape 16x: chamfer(threepu, ref) {cd_between:.3e} "
+              f"(spacing^2 {spacing2:.3e}); vs gt {cd_j:.3e} / {cd_t:.3e}",
+              flush=True)
 
     # ---- 3. optimizer steps from the trained weights ------------------
     # cycle x2/x4/x8 (every level depth; x16 is excluded because the
@@ -227,16 +242,24 @@ def main() -> int:
     tx = make_optimizer(5e-4)
 
     def run_threepu(p0):
-        state = TrainState(params=p0, opt_state=tx.init(p0),
-                           step=jnp.asarray(0, jnp.int32))
-        losses = []
-        for s, (r, x, gt) in enumerate(batches):
-            state, cd = train_step(net, tx, state,
-                                   jax.random.fold_in(key, s),
-                                   jnp.asarray(x), jnp.asarray(gt), r,
-                                   weight_mode="reference")
-            losses.append(float(cd))
-        return losses
+        # Matched-precision trajectory: this section measures ALGORITHM
+        # parity, so the threepu side must not carry the TPU production
+        # default of bf16-input MXU passes (a performance setting the
+        # fp32 torch reference has no analogue of — it alone puts the
+        # step-1 loss ~0.4% apart, swamping the 1e-6 control).  HIGHEST
+        # = fp32-equivalent matmuls on both sides; the jit cache keys on
+        # the context, so the production train_step program is untouched.
+        with jax.default_matmul_precision("highest"):
+            state = TrainState(params=p0, opt_state=tx.init(p0),
+                               step=jnp.asarray(0, jnp.int32))
+            losses = []
+            for s, (r, x, gt) in enumerate(batches):
+                state, cd = train_step(net, tx, state,
+                                       jax.random.fold_in(key, s),
+                                       jnp.asarray(x), jnp.asarray(gt),
+                                       r, weight_mode="reference")
+                losses.append(float(cd))
+            return losses
 
     loss_j = run_threepu(params)
     # CONTROL (the round-3 divergence methodology): the same threepu
