@@ -283,6 +283,28 @@ def check_sort_select():
               np.array_equal(np.asarray(e.idx), np.asarray(s.idx)))
 
 
+def check_select_pallas():
+    """Pallas exact-selection kernel vs lax.top_k ON CHIP: identical
+    values AND indices (tie-breaking included) on tie-heavy inputs —
+    the real-hardware twin of tests/test_ops.py::TestSelectPallas
+    (interpret mode)."""
+    from threepu.ops.select_pallas import select_pallas
+
+    print("select_pallas vs top_k (exact value+index equality)")
+    rng = np.random.default_rng(5)
+    for bsz, n, k, quant in [(8, 312, 34, True), (4, 624, 17, False)]:
+        d_np = (rng.integers(0, 50, (bsz, n, n)).astype(np.float32)
+                if quant else
+                rng.standard_normal((bsz, n, n)).astype(np.float32) ** 2)
+        d_np[..., :64] = 1e30  # dedup-penalty tie block
+        d = jnp.asarray(d_np)
+        ref_v, ref_i = jax.jit(lambda x, k=k: jax.lax.top_k(-x, k))(d)
+        v, i = jax.jit(lambda x, k=k: select_pallas(x, k))(d)
+        check(f"({bsz},{n},{n}) k={k} quant={quant}",
+              np.array_equal(np.asarray(i), np.asarray(ref_i))
+              and np.array_equal(np.asarray(v), np.asarray(-ref_v)))
+
+
 def main():
     print("backend:", jax.default_backend())
     if jax.default_backend() != "tpu":
@@ -291,6 +313,7 @@ def main():
     t0 = time.time()
     check_fps()
     check_sort_select()
+    check_select_pallas()
     check_nn()
     check_interlevel()
     check_edgeconv()
