@@ -478,13 +478,14 @@ class TestSelectPallas:
         d = jnp.asarray(
             rng.standard_normal((3, 8, 312)).astype(np.float32))
         ref = jax.lax.top_k(-d, 5)[1]
+        saved = knn_mod.EXACT_SELECT_PALLAS
         knn_mod.set_exact_select_pallas(True)
         try:
             np.testing.assert_array_equal(
                 np.asarray(knn_mod._exact_select(d, 5)[1]),
                 np.asarray(ref))
         finally:
-            knn_mod.set_exact_select_pallas(False)
+            knn_mod.set_exact_select_pallas(saved)
 
 
 class TestNnDistancePallas:

@@ -56,6 +56,51 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert np.isfinite(losses).all()
 
+    def test_pallas_select_path_matches(self, tiny_batch):
+        """train_step must trace AND produce bit-identical losses and
+        parameter updates when exact selection routes through the
+        Pallas kernel (the round-4 TPU default, backend-gated so the
+        CPU suite never sees it naturally).  Interpret mode stands in
+        for the chip; the k/backend gates are bypassed on purpose so
+        every selection site — including the big-k re-patch the real
+        dispatch excludes — proves AD-safe through the kernel's custom
+        VJP (gradients flow through the fm-distance selection)."""
+        from threepu.ops import knn as knn_mod
+        from threepu.ops.select_pallas import select_pallas
+
+        inp, gt = tiny_batch
+        net = _tiny_net()
+        tx = make_optimizer(1e-3)
+
+        def run():
+            state = create_train_state(net, jax.random.PRNGKey(0), inp,
+                                       gt, 4, tx=tx)
+            losses = []
+            for i in range(3):
+                state, cd = train_step(net, tx, state,
+                                       jax.random.PRNGKey(10 + i),
+                                       inp, gt, 4)
+                losses.append(float(cd))
+            return losses, state
+
+        base_losses, base_state = run()
+        orig = knn_mod._exact_select
+        knn_mod._exact_select = lambda d, k: (
+            select_pallas(d, k, interpret=True) if d.ndim >= 2
+            else orig(d, k))
+        try:
+            jax.clear_caches()
+            k_losses, k_state = run()
+        finally:
+            knn_mod._exact_select = orig
+            jax.clear_caches()
+        assert base_losses == k_losses
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(base_state.params),
+                jax.tree_util.tree_leaves_with_path(k_state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=str(pa))
+
     def test_threshold_variant_compiles(self, tiny_batch):
         inp, gt = tiny_batch
         net = _tiny_net()

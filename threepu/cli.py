@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "config, RESULTS.md round 3); 'auto' switches to "
                         "approximate top-k on TPU for large candidate "
                         "sets with small k")
+    p.add_argument("--select_kernel", default="on", choices=["on", "off"],
+                   help="route exact kNN selection through the Pallas "
+                        "min-extraction kernel on TPU (default on: "
+                        "BIT-IDENTICAL output, 16x headline 59.0k -> "
+                        "75.3k pts/s, +50s compile — "
+                        "benchmarks/select_pallas_bench.py); 'off' "
+                        "restores plain lax.top_k")
     p.add_argument("--bucket", type=int,
                    help="point-count bucket quantum for mixed-size test "
                         "sets: shapes are padded+masked to the next "
@@ -297,8 +304,9 @@ def main(argv: Optional[list] = None) -> None:
         import jax
         jax.config.update("jax_platforms", env_platforms)
     flags = build_parser().parse_args(argv)
-    from threepu.ops.knn import set_knn_method
+    from threepu.ops.knn import set_knn_method, set_exact_select_pallas
     set_knn_method(flags.knn_method)
+    set_exact_select_pallas(flags.select_kernel == "on")
     result_dir = result_path_for(flags)
     if flags.phase == "test":
         assert flags.ckpt is not None, "--ckpt required for test"

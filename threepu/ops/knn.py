@@ -152,14 +152,28 @@ def _split_select(d: jax.Array, k: int, s: int):
 #: dispatch exact selection to the Pallas min-extraction kernel
 #: (:func:`threepu.ops.select_pallas.select_pallas`, bit-identical to
 #: ``lax.top_k`` including tie-breaking) on TPU when the per-program
-#: block fits VMEM comfortably.  Default set by on-chip measurement
-#: (``benchmarks/select_pallas_bench.py``; ``lax.top_k`` lowers to a
-#: full variadic sort, ~100x off the roofline at the conv site).
-EXACT_SELECT_PALLAS = False
+#: block fits VMEM comfortably.  Default ON by on-chip measurement
+#: (``benchmarks/select_pallas_bench.py``, round 4): ``lax.top_k``
+#: lowers to a full variadic sort, ~100x off the roofline at the conv
+#: site — the kernel halves the selection-bound cascade's conv cost
+#: (18.2 -> 10.9 ms in-level, chunk 218.7 -> 170.0 ms) and lifts the
+#: 16x headline 59.0k -> 75.3k pts/s with BIT-IDENTICAL end-to-end
+#: output (e2e TTFS 70 -> 120 s: ~4 extra kernel instances).
+#: ``set_exact_select_pallas(False)`` restores plain ``lax.top_k``.
+EXACT_SELECT_PALLAS = True
 #: block cap for the kernel path: M * N_pad f32 elements per program
 #: (the conv site (312, 384) is 0.12M; 4M f32 = 16 MB VMEM ceiling
 #: with transients — stay an order below it).
 _PALLAS_SELECT_MAX_BLOCK = 1 << 20
+#: k cap for the kernel path: the kernel's cost (and its unrolled
+#: Mosaic body) scales linearly with k — the measured wins are the
+#: small-k graph-build sites (conv k=33, fm_knn=5).  Large-k
+#: selections (seed grouping / patch extraction at k=num_point=312)
+#: keep ``lax.top_k``: a 312-sweep unroll is an unmeasured compile
+#: and runtime risk for zero named benefit (the seed stage is 29 ms
+#: once per shape), and the train re-patch stays the exact program
+#: the 42.7 steps/s measurement covered.
+_PALLAS_SELECT_MAX_K = 64
 
 
 def set_exact_select_pallas(enabled: bool) -> None:
@@ -174,6 +188,7 @@ def _exact_select(d: jax.Array, k: int):
     variant when enabled and applicable."""
     n = d.shape[-1]
     if (EXACT_SELECT_PALLAS and d.ndim >= 2
+            and k <= _PALLAS_SELECT_MAX_K
             and jax.default_backend() == "tpu"
             # m >= 8: a near-empty row block would add a whole kernel
             # instance (~60-100s axon remote compile, CLAUDE.md) to a

@@ -39,7 +39,7 @@ from ``network/operations.py:207`` (torch.topk) via
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -82,10 +82,47 @@ def select_pallas(d: jax.Array, k: int, *,
     of shape ``(..., M, k)``, ordered (value, index) ascending —
     bit-identical to ``(-top_k(-d, k)[0], top_k(-d, k)[1])``.
 
+    Differentiable like ``top_k``: the selected values are a gather
+    from ``d``, so the VJP scatters the value-cotangent back to the
+    selected columns (indices are unique per row, so the scatter is
+    disjoint and deterministic).  The train step differentiates
+    through selection (the fm-distance path), which is why the kernel
+    carries a custom VJP instead of relying on Pallas AD.
+
     The leading dims flatten into the grid; one program owns one
     ``(M, N)`` block resident in VMEM (callers keep ``M * N_pad * 4``
     within a few MB — the conv site is (312, 384) = 479 KB).
     """
+    return _make_select(d.shape, jnp.dtype(d.dtype).name, k, interpret)(d)
+
+
+@lru_cache(maxsize=None)
+def _make_select(shape, dtype_name: str, k: int, interpret: bool):
+    *lead, m, n = shape
+    b = 1
+    for s in (*lead, m):
+        b *= s
+
+    @jax.custom_vjp
+    def f(d):
+        return _select_impl(d, k, interpret)
+
+    def fwd(d):
+        dist, idx = _select_impl(d, k, interpret)
+        return (dist, idx), idx
+
+    def bwd(idx, cots):
+        g = cots[0]  # idx cotangent is float0/symbolic-zero
+        rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+        dd = jnp.zeros((b, n), g.dtype).at[
+            rows, idx.reshape(b, k)].add(g.reshape(b, k))
+        return (dd.reshape(shape).astype(dtype_name),)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _select_impl(d: jax.Array, k: int, interpret: bool):
     *lead, m, n = d.shape
     if k > n:
         raise ValueError(f"k={k} exceeds candidate count {n}")
