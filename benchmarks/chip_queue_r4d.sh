@@ -51,7 +51,7 @@ cp -f "$LOG" benchmarks/logs/chip_queue_r4d.log
 
 echo "=== quality_head2head 16x curriculum $(date -u +%H:%M:%S) ==="
 timeout 7200 python -u benchmarks/quality_head2head.py \
-  --ratio 16 --curriculum --steps 600 --batch 4 --platform tpu
+  --ratio 16 --curriculum --steps 400 --batch 4 --platform tpu
 echo "head2head rc=$? $(date -u +%H:%M:%S)"
 cp -f "$LOG" benchmarks/logs/chip_queue_r4d.log
 

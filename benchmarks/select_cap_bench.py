@@ -59,7 +59,8 @@ def main() -> int:
         upsample_point_cloud.clear_cache()
         t0 = time.time()
         out = upsample_point_cloud(net, params, jnp.asarray(fresh_shape()),
-                                   16, num_point=312, chunk=8)
+                                   16, num_point=312, num_out=80000,
+                                   chunk=8)
         first = float(np.asarray(out).std())
         compile_s = time.time() - t0
         walls = []
@@ -67,7 +68,8 @@ def main() -> int:
             x = jnp.asarray(fresh_shape())
             t0 = time.time()
             out = upsample_point_cloud(net, params, x, 16,
-                                       num_point=312, chunk=8)
+                                       num_point=312, num_out=80000,
+                                       chunk=8)
             _ = float(np.asarray(out).std())
             walls.append(time.time() - t0)
         sec = min(walls)
@@ -87,7 +89,7 @@ def main() -> int:
         knn_mod._PALLAS_SELECT_MAX_K = cap
         upsample_point_cloud.clear_cache()
         per_cap.append(np.asarray(upsample_point_cloud(
-            net, params, x, 16, num_point=312, chunk=8)))
+            net, params, x, 16, num_point=312, num_out=80000, chunk=8)))
     knn_mod._PALLAS_SELECT_MAX_K = 64
     upsample_point_cloud.clear_cache()
     results["bit_identical"] = bool((per_cap[0] == per_cap[1]).all())
