@@ -20,12 +20,17 @@ exec >> "$LOG" 2>&1
 
 echo "=== chip queue r4e start $(date -u +%H:%M:%S) ==="
 
-for i in $(seq 1 60); do
+for i in $(seq 1 120); do
   if timeout 90 python -c "import jax,jax.numpy as jnp; print(float(jnp.sum(jnp.arange(100.))))" 2>/dev/null; then
     echo "tunnel OK after probe $i ($(date -u +%H:%M:%S))"; break
   fi
   echo "probe $i: tunnel not ready ($(date -u +%H:%M:%S))"; sleep 30
 done
+
+echo "=== verify shard_select on chip $(date -u +%H:%M:%S) ==="
+timeout 3000 python -u /tmp/verify_shard_select.py
+echo "verify_shard_select rc=$? $(date -u +%H:%M:%S)"
+cp -f "$LOG" benchmarks/logs/chip_queue_r4e.log
 
 echo "=== tpu_checks $(date -u +%H:%M:%S) ==="
 timeout 3600 python -u benchmarks/tpu_checks.py

@@ -14,7 +14,10 @@ train step forced an all-gather of its (B, N, N) distance-matrix
 operand (12 activation-sized all-gathers per step, after which compute
 ran replicated).  The partition-safe stable-sort selection
 (``threepu.ops.knn.partition_safe``) selects identically with zero
-collectives.
+collectives; round 4 supersedes it in the train step with
+``shard_select`` — selections run per-device-local under
+``jax.shard_map`` (still zero collectives, still bit-identical, and
+the TPU exact-selection Pallas kernel engages per shard).
 """
 
 import re
@@ -25,7 +28,7 @@ import numpy as np
 import pytest
 
 from threepu.models import Net
-from threepu.ops.knn import knn_group, partition_safe
+from threepu.ops.knn import knn_group, partition_safe, shard_select
 from threepu.parallel import make_mesh, make_sharded_train_step
 from threepu.train.model import create_train_state, make_optimizer
 
@@ -82,6 +85,67 @@ class TestSortSelection:
             ctx = knn_group(pts, pts, 4)
         np.testing.assert_array_equal(np.asarray(plain.idx),
                                       np.asarray(ctx.idx))
+
+
+class TestShardSelect:
+    """Per-device-local selection (the round-4 sharded-train backend):
+    per-row selection commutes with batch partitioning, so the
+    shard_map body must reproduce the global op bit-for-bit."""
+
+    def test_matches_plain_exact(self, rng):
+        mesh = make_mesh(8)
+        pts = jnp.asarray(rng.standard_normal((8, 16, 3)).astype(np.float32))
+        plain = knn_group(pts, pts, 4)
+        with shard_select(mesh):
+            ctx = knn_group(pts, pts, 4)
+        np.testing.assert_array_equal(np.asarray(plain.idx),
+                                      np.asarray(ctx.idx))
+        np.testing.assert_array_equal(np.asarray(plain.dist2),
+                                      np.asarray(ctx.dist2))
+
+    def test_ties_and_penalties(self, rng):
+        # duplicate rows: exact ties + the 1e30 sentinel columns — the
+        # local op must break them like the global one on every shard
+        base = rng.standard_normal((8, 12, 3)).astype(np.float32)
+        base[:, 6:] = base[:, :6]
+        pts = jnp.asarray(base)
+        mesh = make_mesh(8)
+        plain = knn_group(pts, pts, 5, unique=True)
+        with shard_select(mesh):
+            ctx = knn_group(pts, pts, 5, unique=True)
+        np.testing.assert_array_equal(np.asarray(plain.idx),
+                                      np.asarray(ctx.idx))
+
+    def test_indivisible_batch_falls_back(self, rng):
+        # leading axis 3 cannot shard over 8 devices: the context must
+        # fall back to the partition-safe sort, still identically
+        mesh = make_mesh(8)
+        pts = jnp.asarray(rng.standard_normal((3, 16, 3)).astype(np.float32))
+        plain = knn_group(pts, pts, 4)
+        with shard_select(mesh):
+            ctx = knn_group(pts, pts, 4)
+        np.testing.assert_array_equal(np.asarray(plain.idx),
+                                      np.asarray(ctx.idx))
+
+    def test_differentiable(self, rng):
+        # the train step differentiates through selection (fm
+        # distances); grads through the shard_map body must match the
+        # plain path
+        mesh = make_mesh(8)
+        pts = jnp.asarray(rng.standard_normal((8, 16, 3)).astype(np.float32))
+
+        def loss(p, ctx):
+            if ctx:
+                with shard_select(mesh):
+                    r = knn_group(p, p, 4)
+            else:
+                r = knn_group(p, p, 4)
+            return jnp.sum(r.dist2 * jnp.arange(4.0))
+
+        g_plain = jax.grad(lambda p: loss(p, False))(pts)
+        g_ctx = jax.grad(lambda p: loss(p, True))(pts)
+        np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_ctx),
+                                   rtol=1e-6, atol=1e-6)
 
 
 class TestShardedTrainCollectives:

@@ -63,9 +63,43 @@ _KNN_METHODS = ("auto", "exact", "approx", "sort")
 #: site) — while ``lax.sort`` partitions cleanly over non-sort
 #: dimensions with zero collectives.  The stable ascending sort selects
 #: the same k indices in the same order as top_k (ties break to the
-#: lowest index in both).  Enabled by the sharded train step
-#: (:func:`threepu.parallel.make_sharded_train_step`) at trace time.
+#: lowest index in both).  Superseded in the sharded train step by
+#: :class:`shard_select` (which keeps the fast per-device kernels);
+#: kept as the fallback for selection sites whose leading axis does
+#: not divide over the mesh, and as an explicit method knob.
 _PARTITION_SAFE = False
+
+#: trace-time mesh context (set by
+#: :func:`threepu.parallel.make_sharded_train_step` via
+#: :class:`shard_select`): exact selection runs LOCALLY per device
+#: under ``jax.shard_map`` over the batch axis.  Per-row selection
+#: commutes with batch partitioning, so the result is bit-identical to
+#: the global op; GSPMD never sees a TopK (or an opaque Pallas
+#: custom-call) to mangle — zero collectives, like the sort backend —
+#: and on TPU the exact-selection Pallas kernel engages per shard
+#: exactly as in the serial step (the sort backend pays a full
+#: variadic sort per site, ~2x the kernel at the conv sites).
+_SHARD_SELECT = None
+
+
+class shard_select:
+    """Context manager: trace exact kNN selections as per-device local
+    ops under ``jax.shard_map`` over ``axis_name`` of ``mesh`` (see
+    ``_SHARD_SELECT``)."""
+
+    def __init__(self, mesh, axis_name: str = "data"):
+        self.ctx = (mesh, axis_name) if mesh is not None else None
+
+    def __enter__(self):
+        global _SHARD_SELECT
+        self.saved = _SHARD_SELECT
+        _SHARD_SELECT = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _SHARD_SELECT
+        _SHARD_SELECT = self.saved
+        return False
 
 
 class partition_safe:
@@ -184,6 +218,25 @@ def set_exact_select_pallas(enabled: bool) -> None:
 
 
 def _exact_select(d: jax.Array, k: int):
+    """Exact selection: per-device-local under a :class:`shard_select`
+    mesh context, else :func:`_exact_select_local` directly."""
+    if _SHARD_SELECT is not None:
+        mesh, axis = _SHARD_SELECT
+        n_dev = mesh.shape[axis]
+        if d.ndim >= 3 and d.shape[0] % n_dev == 0:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(axis, *([None] * (d.ndim - 1)))
+            return jax.shard_map(
+                lambda x: _exact_select_local(x, k), mesh=mesh,
+                in_specs=(spec,), out_specs=(spec, spec))(d)
+        # unsizeable site (none in the shipped sharded programs):
+        # partition-safe sort rather than a GSPMD TopK all-gather
+        return _sort_select(d, k)
+    return _exact_select_local(d, k)
+
+
+def _exact_select_local(d: jax.Array, k: int):
     """Exact selection: direct ``lax.top_k``, or a bit-identical
     variant when enabled and applicable."""
     n = d.shape[-1]

@@ -16,7 +16,7 @@ import jax
 import optax
 
 from threepu.losses import chamfer_loss
-from threepu.ops.knn import partition_safe
+from threepu.ops.knn import shard_select
 from threepu.train.model import TrainState, loss_weight
 
 
@@ -48,10 +48,13 @@ def make_sharded_train_step(net, tx, mesh, axis_name: str = "data"):
 
         # GSPMD cannot partition lax.top_k over the sharded batch axis:
         # every kNN selection would all-gather its (B, N, N) operand
-        # (measured, tests/test_collectives.py).  Trace with the
-        # partition-safe stable-sort selection instead — identical
-        # indices, zero forward collectives.
-        with partition_safe():
+        # (measured, tests/test_collectives.py).  Trace selections as
+        # per-device-local shard_map bodies instead — bit-identical
+        # indices, zero forward collectives, and the TPU exact-selection
+        # Pallas kernel engages per shard exactly like the serial step
+        # (the earlier partition-safe sort paid a full variadic sort
+        # per site, ~2x the kernel at the conv sites).
+        with shard_select(mesh, axis_name):
             (_, (cd, pred, gt_out)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
