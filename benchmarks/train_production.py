@@ -69,18 +69,27 @@ def worker(args) -> int:
         h5_data=h5, num_shape_point=5000, num_point=312,
         stage_steps=args.stage_steps, model_dir=model_dir,
         ckpt=ckpt, ckpt_epochs=1, log_steps=500,
-        jitter=args.jitter)
+        jitter=args.jitter,
+        # rate harness: don't compile the with_pred monitor variant of
+        # every (ratio, threshold) program (2x the remote-compile bill)
+        log_with_pred=False)
     if ckpt:
         print(f"resuming from {ckpt} (epoch {epoch})", flush=True)
 
     log_path = os.path.join(args.workdir, "losses.jsonl")
     t_start = time.time()
     last = {"t": t_start, "step": 0}
+    windows = []  # (step, ratio, steps_per_s) per log window
 
     def log_fn(step, ratio, loss, state, batch, **kw):
         now = time.time()
         rate = (step - last["step"]) / max(now - last["t"], 1e-9)
         last["t"], last["step"] = now, step
+        windows.append((step, ratio, rate))
+        # window rates go to stdout too: /tmp workdirs do not survive
+        # sessions — the queue log is the committed record
+        print(f"[rate] step {step} x{ratio} {rate:.1f} steps/s "
+              f"t={now - t_start:.0f}s", flush=True)
         with open(log_path, "a") as f:
             f.write(json.dumps({
                 "step": step, "ratio": ratio, "loss": round(loss, 6),
@@ -93,6 +102,18 @@ def worker(args) -> int:
     wall = time.time() - t_start
     step = int(jax.device_get(state.step))
     print(f"worker done at step {step} in {wall:.0f}s", flush=True)
+    if windows:
+        # steady rate = median of the top half of window rates (windows
+        # containing a fresh program compile sit in the bottom half);
+        # also report the tail windows, which are compile-free once
+        # every curriculum program has been built
+        rates = sorted(r for _, _, r in windows)
+        steady = rates[3 * len(rates) // 4]
+        tail = [round(r, 1) for _, _, r in windows[-6:]]
+        print(f"window rates: n={len(windows)} min={rates[0]:.1f} "
+              f"median={rates[len(rates) // 2]:.1f} "
+              f"p75={steady:.1f} max={rates[-1]:.1f} "
+              f"last6={tail} avg={step / wall:.1f}", flush=True)
 
     if step >= args.steps:
         # final full-state checkpoint + held-out eval

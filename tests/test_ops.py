@@ -470,6 +470,51 @@ class TestSelectPallas:
         with pytest.raises(ValueError, match="exceeds"):
             select_pallas(jnp.ones((2, 4, 8)), 9, interpret=True)
 
+    def test_row_tile_boundary(self):
+        """Pin the VMEM dispatch model (the round-4 on-chip OOM: a
+        (624, 640) block passed the old gate but Mosaic's ~53 B/element
+        scoped-VMEM footprint blew the 16 MB limit — chip_queue_r4e).
+        The kernel must now row-tile anything over _MAX_TILE_ELEMS and
+        fall back to top_k when one 8-row chunk cannot fit."""
+        from threepu.ops.select_pallas import _row_tile, _MAX_TILE_ELEMS
+        assert _MAX_TILE_ELEMS <= 1 << 17  # ~6.9 MB at 53 B/element
+        assert _row_tile(312, 384) == 312          # conv site: whole block
+        assert _row_tile(341, 384) == 341          # == budget exactly
+        assert _row_tile(342, 384) == 336          # just over: 8-aligned tile
+        t = _row_tile(624, 640)                    # the r4e OOM shape
+        assert 0 < t < 624 and t % 8 == 0
+        assert t * 640 <= _MAX_TILE_ELEMS
+        assert _row_tile(8, 16384) == 8            # minimal chunk fits exactly
+        assert _row_tile(8, 16512) == 0            # n alone overflows: top_k
+
+    def test_row_tiled_matches_topk(self, rng):
+        """The row-tiled path (blocks over _MAX_TILE_ELEMS) must stay
+        bit-identical to top_k — the exact tpu_checks case that OOM'd
+        on chip in round 4: (8, 624, n->pad 640) k=33 with a dedup
+        penalty tie block, plus a non-dividing m (row padding)."""
+        from threepu.ops.select_pallas import select_pallas, _row_tile
+        for bsz, m, n, k in [(8, 624, 633, 33), (2, 725, 640, 17)]:
+            assert 0 < _row_tile(m, -(-n // 128) * 128) < m
+            d_np = rng.standard_normal((bsz, m, n)).astype(np.float32) ** 2
+            d_np[..., :64] = 1e30  # dedup-penalty tie block
+            d = jnp.asarray(d_np)
+            ref_v, ref_i = jax.lax.top_k(-d, k)
+            v, i = select_pallas(d, k, interpret=True)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(-ref_v))
+
+    def test_huge_n_falls_back_to_topk(self, rng):
+        """n past the one-chunk budget: transparent bit-identical
+        lax.top_k fallback (compiles at any shape, like the
+        reference's torch.topk at network/operations.py:207)."""
+        from threepu.ops.select_pallas import select_pallas
+        d = jnp.asarray(
+            rng.standard_normal((2, 8, 16650)).astype(np.float32))
+        ref_v, ref_i = jax.lax.top_k(-d, 4)
+        v, i = select_pallas(d, 4, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-ref_v))
+
     def test_dispatch_gating(self, rng):
         """The knob routes through the kernel only on TPU (trace-time
         backend check): on CPU the direct path must run and results

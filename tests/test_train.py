@@ -94,12 +94,22 @@ class TestTrainStep:
         finally:
             knn_mod._exact_select = orig
             jax.clear_caches()
+        # bit-equality of losses holds today under CPU interpret mode
+        # (both programs run the same scalar math); it is NOT a
+        # hardware guarantee — the on-chip A/B of the analogous pair
+        # saw 1-ulp gradient differences (select_train_bench.py).
         assert base_losses == k_losses
+        # params: a few-f32-ulp band rather than bit-equality — the two
+        # runs are different HLO programs (top_k VJP vs the kernel's
+        # scatter VJP) and XLA fusion/ordering may legitimately round
+        # differently under future versions even though today they
+        # agree exactly.
         for (pa, a), (pb, b) in zip(
                 jax.tree_util.tree_leaves_with_path(base_state.params),
                 jax.tree_util.tree_leaves_with_path(k_state.params)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                          err_msg=str(pa))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-7, atol=1e-8,
+                                       err_msg=str(pa))
 
     def test_threshold_variant_compiles(self, tiny_batch):
         inp, gt = tiny_batch

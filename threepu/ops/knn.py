@@ -195,18 +195,24 @@ def _split_select(d: jax.Array, k: int, s: int):
 #: output (e2e TTFS 70 -> 120 s: ~4 extra kernel instances).
 #: ``set_exact_select_pallas(False)`` restores plain ``lax.top_k``.
 EXACT_SELECT_PALLAS = True
-#: block cap for the kernel path: M * N_pad f32 elements per program
-#: (the conv site (312, 384) is 0.12M; 4M f32 = 16 MB VMEM ceiling
-#: with transients — stay an order below it).
+#: block cap for the kernel path: M * N_pad f32 elements per call
+#: site.  This no longer bounds VMEM — the kernel row-tiles itself to
+#: ~2^17-element programs (see ``select_pallas._MAX_TILE_ELEMS``; the
+#: round-4 gate at this value ADMITTED a (624, 640) k=33 block that
+#: OOM'd scoped VMEM on chip at Mosaic's measured ~53 B/element
+#: footprint, chip_queue_r4e.log) — it only bounds WHICH sites engage,
+#: keeping the engaging-site set exactly the one the round-4 chip
+#: measurements covered.  Sites above it keep ``lax.top_k``.
 _PALLAS_SELECT_MAX_BLOCK = 1 << 20
 #: k cap for the kernel path: the kernel's cost (and its unrolled
 #: Mosaic body) scales linearly with k — the measured wins are the
 #: small-k graph-build sites (conv k=33, fm_knn=5).  Large-k
 #: selections (seed grouping / patch extraction at k=num_point=312)
-#: keep ``lax.top_k``: a 312-sweep unroll is an unmeasured compile
-#: and runtime risk for zero named benefit (the seed stage is 29 ms
-#: once per shape), and the train re-patch stays the exact program
-#: the 42.7 steps/s measurement covered.
+#: keep ``lax.top_k``.  MEASURED (select_cap_bench, chip_queue_r4e):
+#: raising the cap to 512 — i.e. unrolling the kernel at the k=312
+#: sites — is bit-identical but does NOT pay: 73.1k vs 74.3k pts/s at
+#: the headline (the seed/extraction stages are once-per-shape and the
+#: 312-sweep unroll is no faster than the sort there), so 64 stands.
 _PALLAS_SELECT_MAX_K = 64
 
 
@@ -223,6 +229,14 @@ def _exact_select(d: jax.Array, k: int):
     if _SHARD_SELECT is not None:
         mesh, axis = _SHARD_SELECT
         n_dev = mesh.shape[axis]
+        # ASSUMPTION: "ndim >= 3 and leading axis divisible by the
+        # mesh" is a proxy for "the leading axis IS the sharded batch
+        # axis".  A divisible-but-differently-sharded operand would be
+        # force-resharded by in_specs (extra collectives; results stay
+        # bit-identical — per-row selection commutes with any
+        # partition).  Every new sharded program must therefore pass
+        # tests/test_collectives.py's zero-collective HLO audit before
+        # its scaling is trusted (CLAUDE.md).
         if d.ndim >= 3 and d.shape[0] % n_dev == 0:
             from jax.sharding import PartitionSpec as P
 

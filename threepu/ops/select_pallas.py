@@ -52,6 +52,29 @@ _LANES = 128
 _BIG = 1e32
 _BIG_I = 2 ** 30
 
+#: f32 elements per program block.  Measured on chip (round 4,
+#: ``benchmarks/logs/chip_queue_r4e.log``): Mosaic's scoped-VMEM
+#: footprint for this kernel is ~53 bytes/element (a 399k-element
+#: (624, 640) block allocated 21.17M against the 16M limit, ~13x the
+#: f32 block itself — the sweep temporaries are live together, though
+#: reused across the k unrolled sweeps).  2^17 elements => ~6.9 MB,
+#: a 2.3x margin; the conv site (312, 384) = 119,808 elements stays a
+#: single whole-block program, byte-identical to the round-4 measured
+#: one.  Rows are independent, so anything larger streams over a
+#: second grid axis of row chunks (see :func:`_row_tile`).
+_MAX_TILE_ELEMS = 1 << 17
+
+
+def _row_tile(m: int, n_pad: int) -> int:
+    """Rows per program: the whole block when it fits the measured
+    VMEM budget, else the largest 8-aligned (sublane) row chunk that
+    does; 0 when even an 8-row chunk would not fit (n alone overflows
+    the budget — the caller falls back to ``lax.top_k``, which is
+    bit-identical by this kernel's contract)."""
+    if m * n_pad <= _MAX_TILE_ELEMS:
+        return m
+    return (_MAX_TILE_ELEMS // n_pad) // 8 * 8
+
 
 def _make_kernel(k: int, m: int, n_pad: int):
     def kernel(d_ref, dout_ref, iout_ref):
@@ -90,8 +113,14 @@ def select_pallas(d: jax.Array, k: int, *,
     carries a custom VJP instead of relying on Pallas AD.
 
     The leading dims flatten into the grid; one program owns one
-    ``(M, N)`` block resident in VMEM (callers keep ``M * N_pad * 4``
-    within a few MB — the conv site is (312, 384) = 479 KB).
+    ``(m_tile, N_pad)`` block resident in VMEM.  Rows are independent,
+    so blocks larger than the measured VMEM budget
+    (:data:`_MAX_TILE_ELEMS`, ~53 bytes/element Mosaic footprint)
+    stream over a second grid axis of 8-aligned row chunks; the conv
+    site (312, 384) = 119,808 elements stays one whole-block program.
+    When ``N_pad`` alone overflows the budget the call degrades to
+    ``lax.top_k`` (bit-identical), so the op compiles at every shape
+    like the reference's ``torch.topk``.
     """
     return _make_select(d.shape, jnp.dtype(d.dtype).name, k, interpret)(d)
 
@@ -129,28 +158,52 @@ def _select_impl(d: jax.Array, k: int, interpret: bool):
     b = 1
     for s in lead:
         b *= s
-    d2 = d.reshape(b, m, n).astype(jnp.float32)
     n_pad = -(-n // _LANES) * _LANES
+    m_tile = _row_tile(m, n_pad)
+    if m_tile == 0:
+        # n alone overflows the per-program VMEM budget: lax.top_k is
+        # bit-identical by contract, so degrade transparently instead
+        # of failing at compile time (the reference's torch.topk works
+        # at every shape, network/operations.py:207).
+        neg_top, idx = jax.lax.top_k(-d, k)
+        return -neg_top, idx.astype(jnp.int32)
+    d2 = d.reshape(b, m, n).astype(jnp.float32)
     if n_pad != n:
         d2 = jnp.pad(d2, ((0, 0), (0, 0), (0, n_pad - n)),
                      constant_values=_BIG)
+    m_pad = -(-m // m_tile) * m_tile
+    if m_pad != m:
+        # zero rows: each selects k zeros, sliced off below
+        d2 = jnp.pad(d2, ((0, 0), (0, m_pad - m), (0, 0)))
 
-    spec = pl.BlockSpec((1, m, n_pad), lambda i: (i, 0, 0),
+    if m_tile == m:
+        # whole-block program, byte-identical to the round-4 measured
+        # one (single grid axis)
+        grid = (b,)
+        in_map = lambda i: (i, 0, 0)
+        out_map = lambda i: (i, 0, 0)
+    else:
+        grid = (b, m_pad // m_tile)
+        in_map = lambda i, j: (i, j, 0)
+        out_map = lambda i, j: (i, j, 0)
+    spec = pl.BlockSpec((1, m_tile, n_pad), in_map,
                         memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, m, k), lambda i: (i, 0, 0),
+    out_spec = pl.BlockSpec((1, m_tile, k), out_map,
                             memory_space=pltpu.VMEM)
     dist, idx = pl.pallas_call(
-        _make_kernel(k, m, n_pad),
-        out_shape=(jax.ShapeDtypeStruct((b, m, k), jnp.float32),
-                   jax.ShapeDtypeStruct((b, m, k), jnp.int32)),
-        grid=(b,),
+        _make_kernel(k, m_tile, n_pad),
+        out_shape=(jax.ShapeDtypeStruct((b, m_pad, k), jnp.float32),
+                   jax.ShapeDtypeStruct((b, m_pad, k), jnp.int32)),
+        grid=grid,
         in_specs=[spec],
         out_specs=(out_spec, out_spec),
         cost_estimate=pl.CostEstimate(
-            flops=6 * k * m * n_pad * b,
-            bytes_accessed=(m * n_pad + 2 * m * k) * 4 * b,
+            flops=6 * k * m_pad * n_pad * b,
+            bytes_accessed=(m_pad * n_pad + 2 * m_pad * k) * 4 * b,
             transcendentals=0),
         interpret=interpret,
     )(d2)
+    if m_pad != m:
+        dist, idx = dist[:, :m], idx[:, :m]
     return (dist.reshape(*lead, m, k).astype(d.dtype),
             idx.reshape(*lead, m, k))

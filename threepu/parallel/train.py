@@ -72,4 +72,8 @@ def make_sharded_train_step(net, tx, mesh, axis_name: str = "data"):
         return step(state, key, inp, gt, ratio, threshold, weight_mode,
                     with_pred)
 
+    # the underlying jit, for .lower()/HLO inspection (the collective
+    # audit in tests/test_collectives.py and the on-chip shard_select
+    # verification in benchmarks/verify_shard_select.py)
+    wrapped.jit_step = step
     return wrapped

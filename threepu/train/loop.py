@@ -61,6 +61,12 @@ class TrainConfig:
     seed: int = 0
     weight_mode: str = "floored"
     mesh: Optional[object] = None         # jax Mesh for multi-chip DP
+    log_with_pred: bool = True            # log steps run the with_pred
+    #   program variant so the monitor can plot predictions
+    #   (main.py:184-195).  Each (ratio, threshold) combo then compiles
+    #   a SECOND full train program — up to 2x the remote-compile bill
+    #   (60-400 s/program through axon).  Rate/throughput harnesses that
+    #   only read losses set False (benchmarks/train_production.py).
     ckpt_format: str = "npz"              # "npz" | "pth" (reference
     #                                       {label}_{epoch}.pth files,
     #                                       utils/pytorch_utils.py:7-15)
@@ -199,7 +205,7 @@ def train_loop(cfg: TrainConfig, max_steps: Optional[int] = None,
             # log steps run the with_pred program variant so the monitor
             # can plot the actual prediction (main.py:184-195) — both
             # serial and sharded steps support it
-            log_now = (log_fn is not None
+            log_now = (log_fn is not None and cfg.log_with_pred
                        and (step + 1) % cfg.log_steps == 0)
             pred = gt_out = None
             step_fn = sharded_step or train_step
