@@ -94,6 +94,72 @@ def test_golden_hierarchical_restitch(golden_setup):
     np.testing.assert_allclose(stats, recorded, rtol=1e-4, atol=1e-6)
 
 
+def test_shipped_default_knobs():
+    """Pin every shipped default knob (VERDICT r4 #7): a default flip
+    or dispatch-gate change must fail HERE, in the CPU suite, not on
+    chip.  Any intentional change must update these values AND the
+    chip measurements that justified them (benchmarks/RESULTS.md)."""
+    from threepu.ops import knn as knn_mod
+    from threepu.ops import select_pallas as sp
+    from threepu import inference
+
+    assert knn_mod.DEFAULT_METHOD == "exact"
+    assert knn_mod.EXACT_SELECT_PALLAS is True       # round-4 chip A/B
+    assert knn_mod.EXACT_SPLITS == 0                 # split-top-k loses 3-5x
+    assert knn_mod._PALLAS_SELECT_MAX_K == 64        # cap-512 A/B: no win
+    assert knn_mod._PALLAS_SELECT_MAX_BLOCK == 1 << 20
+    assert sp._MAX_TILE_ELEMS == 1 << 17             # ~53 B/elem footprint
+    assert inference.DEFAULT_RESTITCH_GROUPS == 8    # round-4 quality gate
+    assert inference.RESTITCH_AUTO_MIN_OUT == 16384
+    assert inference.resolve_restitch_groups(None, 80000) == 8
+    assert inference.resolve_restitch_groups(None, 384) == 1
+    assert inference.resolve_restitch_groups(1, 80000) == 1
+
+
+def test_golden_default_tpu_dispatch(golden_setup, monkeypatch):
+    """Execute the EXACT shipped TPU dispatch path on CPU: the real
+    gate conditions route eligible selections through the Pallas kernel
+    (interpret mode standing in for the chip).  Asserts (a) the kernel
+    actually ENGAGES at the expected sites — a gate regression that
+    silently stops dispatching cannot hide behind bit-identical
+    outputs — and (b) the output is bit-identical to the plain
+    program's, pinned to the same recorded golden statistics."""
+    net, params, pts = golden_setup
+    import threepu.ops.select_pallas as sp
+    from threepu.ops import knn as knn_mod
+
+    jax.clear_caches()
+    base = np.asarray(upsample_point_cloud(
+        net, params, jnp.asarray(pts), 4, num_point=32, num_out=384,
+        chunk=4))
+
+    calls = []
+    real = sp.select_pallas
+
+    def counting(d, k, **kw):
+        calls.append((tuple(d.shape), k))
+        return real(d, k, **kw)
+
+    monkeypatch.setattr(sp, "select_pallas", counting)
+    knn_mod.set_select_interpret(True)
+    jax.clear_caches()
+    try:
+        out = np.asarray(upsample_point_cloud(
+            net, params, jnp.asarray(pts), 4, num_point=32, num_out=384,
+            chunk=4))
+    finally:
+        knn_mod.set_select_interpret(False)
+        jax.clear_caches()
+    assert calls, "the default dispatch no longer engages the kernel"
+    for shape, k in calls:
+        assert k <= knn_mod._PALLAS_SELECT_MAX_K
+        assert shape[-2] >= 8
+    np.testing.assert_array_equal(out, base)
+    stats = np.array([out.mean(), out.std(), np.abs(out).max()])
+    recorded = np.array([0.15083234, 0.57259727, 1.23932910])
+    np.testing.assert_allclose(stats, recorded, rtol=1e-4, atol=1e-6)
+
+
 def test_golden_sharded(golden_setup):
     """The mesh pipeline (shard_map over patches + single merge
     all-gather) on the 8-device CPU mesh must reproduce the recorded

@@ -223,6 +223,21 @@ def set_exact_select_pallas(enabled: bool) -> None:
     EXACT_SELECT_PALLAS = bool(enabled)
 
 
+#: test knob: treat any backend as kernel-capable and run the selection
+#: kernel in Pallas interpret mode, so the CPU suite can execute the
+#: EXACT shipped TPU dispatch path — gate conditions included — without
+#: a chip (tests/test_golden.py pins the default dispatch this way).
+_INTERPRET_SELECT = False
+
+
+def set_select_interpret(enabled: bool) -> None:
+    """Trace-time test knob (see ``_INTERPRET_SELECT``); callers must
+    ``jax.clear_caches()`` around flips — the jit cache does not key on
+    it."""
+    global _INTERPRET_SELECT
+    _INTERPRET_SELECT = bool(enabled)
+
+
 def _exact_select(d: jax.Array, k: int):
     """Exact selection: per-device-local under a :class:`shard_select`
     mesh context, else :func:`_exact_select_local` directly."""
@@ -256,7 +271,7 @@ def _exact_select_local(d: jax.Array, k: int):
     n = d.shape[-1]
     if (EXACT_SELECT_PALLAS and d.ndim >= 2
             and k <= _PALLAS_SELECT_MAX_K
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _INTERPRET_SELECT)
             # m >= 8: a near-empty row block would add a whole kernel
             # instance (~60-100s axon remote compile, CLAUDE.md) to a
             # site where top_k is already cheap (e.g. the m=1 outlier
@@ -264,8 +279,8 @@ def _exact_select_local(d: jax.Array, k: int):
             and d.shape[-2] >= 8
             and d.shape[-2] * (-(-n // 128) * 128)
             <= _PALLAS_SELECT_MAX_BLOCK):
-        from threepu.ops.select_pallas import select_pallas
-        return select_pallas(d, k)
+        from threepu.ops import select_pallas as _sp
+        return _sp.select_pallas(d, k, interpret=_INTERPRET_SELECT)
     s = EXACT_SPLITS
     if s > 1 and n % s == 0 and k <= n // s:
         return _split_select(d, k, s)
