@@ -1,7 +1,9 @@
 import unittest.mock as mock
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+import pytest
 
 from jax.experimental import pallas as pl
 
@@ -29,6 +31,16 @@ def _xla_reference(q, xq, pxyz, pf, dup, k):
 
 
 class TestInterlevelKernel:
+    @pytest.fixture(params=[False, True], ids=["v1", "v2"], autouse=True)
+    def sweep_v2(self, request):
+        """Every kernel test runs under both sweep generations (the V2
+        mutation-based sweeps must be drop-in bit-identical)."""
+        il.set_sweep_v2(request.param)
+        jax.clear_caches()
+        yield request.param
+        il.set_sweep_v2(False)
+        jax.clear_caches()
+
     def test_interpret_matches_xla(self, rng):
         P, G, N, M, C, K = 2, 3, 16, 40, 12, 4
         q = jnp.asarray(rng.standard_normal((P * G, N, 3)).astype(np.float32))
@@ -211,3 +223,69 @@ class TestInterlevelKernel:
         # every split-path launch respects the program limit
         for g in seen_grids[1:]:
             assert g[0] * g[1] <= 2, f"grid {g} exceeds program limit"
+
+
+class TestSweepV2:
+    """The V2 sweep restructuring (mutation-based exclusion + 1024
+    chunks) must be BIT-identical to V1 — selections, distances, and
+    the multi-chunk merge path included."""
+
+    def _run_select(self, v2, q, pxyz, dup, k):
+        il.set_sweep_v2(v2)
+        jax.clear_caches()
+        orig = pl.pallas_call
+        try:
+            with mock.patch.object(
+                    il.pl, "pallas_call",
+                    lambda *a, **kw: orig(*a, interpret=True, **kw)):
+                return il.interlevel_select_pallas(q, pxyz, dup, k)
+        finally:
+            il.set_sweep_v2(False)
+            jax.clear_caches()
+
+    def test_bit_identical_select_multichunk(self, rng):
+        # M=2560 exercises the streamed multi-chunk merge in BOTH
+        # layouts (V1: 2 chunks of 2048-pad; V2: 3 chunks of 1024) and
+        # duplicates exercise the penalty ties
+        P, G, N, M, K = 1, 2, 8, 2560, 5
+        q = jnp.asarray(
+            rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        pxyz[0, 100:110] = pxyz[0, 0:10]
+        dup = np.zeros((P, M), bool)
+        dup[0, 100:110] = True
+        d1, i1 = self._run_select(False, q, jnp.asarray(pxyz),
+                                  jnp.asarray(dup), K)
+        d2, i2 = self._run_select(True, q, jnp.asarray(pxyz),
+                                  jnp.asarray(dup), K)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def test_bit_identical_fused(self, rng):
+        P, G, N, M, C, K = 2, 2, 16, 48, 12, 4
+        q = jnp.asarray(
+            rng.standard_normal((P * G, N, 3)).astype(np.float32))
+        xq = jnp.asarray(
+            rng.standard_normal((P * G, N, C)).astype(np.float32))
+        pxyz = rng.standard_normal((P, M, 3)).astype(np.float32)
+        pxyz[0, 7] = pxyz[0, 3]
+        pf = rng.standard_normal((P, M, C)).astype(np.float32)
+        pf[0, 7] = pf[0, 3]
+        dup = np.zeros((P, M), bool)
+        dup[0, 7] = True
+        outs = []
+        orig = pl.pallas_call
+        for v2 in (False, True):
+            il.set_sweep_v2(v2)
+            jax.clear_caches()
+            try:
+                with mock.patch.object(
+                        il.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, interpret=True, **kw)):
+                    outs.append(np.asarray(il.interlevel_interp_pallas(
+                        q, xq, jnp.asarray(pxyz), jnp.asarray(pf),
+                        jnp.asarray(dup), K)))
+            finally:
+                il.set_sweep_v2(False)
+                jax.clear_caches()
+        np.testing.assert_array_equal(outs[0], outs[1])

@@ -61,10 +61,40 @@ _DUP_PENALTY = 1e30
 #: padding rows sit at huge coordinates so they rank after duplicates.
 _PAD_COORD = 2e15
 
+#: trace-time knob (round 5): V2 selection sweeps.  Two bit-identical
+#: restructurings of the kernel's hot loop, motivated by the r4e
+#: eval_gap re-attribution (the l4 interlevel select is the chunk's
+#: largest single term, 37.45 ms = 22%):
+#:
+#: 1. mutation-based exclusion — extract (min d, min index among ties)
+#:    then set THAT column to the sentinel, instead of re-deriving the
+#:    5-op lexicographic ``later`` predicate every sweep (~4 elementwise
+#:    ops/sweep vs ~8; the exclusion sets are provably identical:
+#:    nothing ranks strictly below the extracted column after it is
+#:    masked);
+#: 2. a 1024-wide selection chunk: the fixed 2048 unit pads the l4 site
+#:    M=6240 to 8192 (+31% wasted sweep work); 1024 pads to 7168
+#:    (+15%) while the per-chunk merge overhead stays ~9%.
+#:
+#: OFF until the chip A/B lands (benchmarks/interlevel_v2_bench.py);
+#: flips require ``jax.clear_caches()`` (the jit cache does not key on
+#: it).
+SWEEP_V2 = False
+
+
+def set_sweep_v2(enabled: bool) -> None:
+    global SWEEP_V2
+    SWEEP_V2 = bool(enabled)
+
+
+#: V2 selection-chunk width (see SWEEP_V2 note 2).
+SELECT_UNIT_V2 = 1024
+
 
 def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
     n_tiles = n // q_tile
     assert n_tiles * q_tile == n
+    v2 = SWEEP_V2
 
     def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, pen_ref,
                xq_ref, feats_ref, out_ref):
@@ -98,13 +128,20 @@ def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
             d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
             i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
             d_sel, feat_sel = [], []
-            for _ in range(k):
-                later = ((dr > d_prev)
-                         | ((dr == d_prev) & (j_iota > i_prev)))
-                cand = jnp.where(later, dr, _BIG)
-                d_k = jnp.min(cand, axis=1, keepdims=True)
-                i_k = jnp.min(jnp.where(cand == d_k, j_iota, _BIG_I),
-                              axis=1, keepdims=True)
+            for s in range(k):
+                if v2:
+                    # mutation-based exclusion (see SWEEP_V2): dr
+                    # already has the extracted columns at _BIG
+                    d_k = jnp.min(dr, axis=1, keepdims=True)
+                    i_k = jnp.min(jnp.where(dr == d_k, j_iota, _BIG_I),
+                                  axis=1, keepdims=True)
+                else:
+                    later = ((dr > d_prev)
+                             | ((dr == d_prev) & (j_iota > i_prev)))
+                    cand = jnp.where(later, dr, _BIG)
+                    d_k = jnp.min(cand, axis=1, keepdims=True)
+                    i_k = jnp.min(jnp.where(cand == d_k, j_iota, _BIG_I),
+                                  axis=1, keepdims=True)
                 hit = j_iota == i_k
                 onehot = hit.astype(jnp.bfloat16)
                 feat_k = jnp.dot(onehot, feats,
@@ -113,7 +150,11 @@ def _make_kernel(k: int, n: int, m_pad: int, c_pad: int, q_tile: int):
                                  keepdims=True)
                 d_sel.append(d_true)
                 feat_sel.append(feat_k)
-                d_prev, i_prev = d_k, i_k
+                if v2:
+                    if s + 1 < k:
+                        dr = jnp.where(hit, _BIG, dr)
+                else:
+                    d_prev, i_prev = d_k, i_k
             d_rows.append(jnp.concatenate(d_sel, axis=1))
             f_rows.append(feat_sel)          # k x (q_tile, Cp)
 
@@ -169,23 +210,40 @@ def _make_select_kernel(k: int, n: int, n_chunks: int, chunk: int,
     to jax.lax.top_k on the negated matrix."""
     n_tiles = n // q_tile
     assert n_tiles * q_tile == n
+    v2 = SWEEP_V2
 
     def topk_sweeps(d, jj, width_k):
         """Sorted top-``width_k`` of (q_tile, W) candidates by
         lexicographic (d, jj) ascending; returns two (q_tile, width_k)
-        lists of column vectors."""
+        lists of column vectors.
+
+        V2 (SWEEP_V2): identical selections via mutation-based
+        exclusion — mask the one extracted column (lowest index among
+        the minima) to the sentinel instead of re-deriving the
+        lexicographic predicate.  Duplicate ``jj`` values only exist
+        among the merge carry's _BIG_I initials, which are never
+        extracted (every chunk contributes ``k`` real-indexed entries),
+        so the index-equality mask always hits exactly one live column.
+        """
         d_prev = jnp.full((q_tile, 1), -1.0, jnp.float32)
         i_prev = jnp.full((q_tile, 1), -1, jnp.int32)
         d_sel, i_sel = [], []
-        for _ in range(width_k):
-            later = (d > d_prev) | ((d == d_prev) & (jj > i_prev))
-            cand = jnp.where(later, d, _BIG)
-            d_c = jnp.min(cand, axis=1, keepdims=True)
-            i_c = jnp.min(jnp.where(cand == d_c, jj, _BIG_I),
-                          axis=1, keepdims=True)
+        for s in range(width_k):
+            if v2:
+                d_c = jnp.min(d, axis=1, keepdims=True)
+                i_c = jnp.min(jnp.where(d == d_c, jj, _BIG_I),
+                              axis=1, keepdims=True)
+                if s + 1 < width_k:
+                    d = jnp.where(jj == i_c, _BIG, d)
+            else:
+                later = (d > d_prev) | ((d == d_prev) & (jj > i_prev))
+                cand = jnp.where(later, d, _BIG)
+                d_c = jnp.min(cand, axis=1, keepdims=True)
+                i_c = jnp.min(jnp.where(cand == d_c, jj, _BIG_I),
+                              axis=1, keepdims=True)
+                d_prev, i_prev = d_c, i_c
             d_sel.append(d_c)
             i_sel.append(i_c)
-            d_prev, i_prev = d_c, i_c
         return d_sel, i_sel
 
     def kernel(qx_ref, qy_ref, qz_ref, px_ref, py_ref, pz_ref, pen_ref,
@@ -239,12 +297,16 @@ def interlevel_select_pallas(q_xyz: jax.Array, prev_xyz: jax.Array,
     p, m, _ = prev_xyz.shape
     assert b % p == 0
     group = b // p
-    # pad M to a whole number of selection chunks
-    unit = _SELECT_M_CHUNK if m > _SELECT_M_CHUNK else 512
+    # pad M to a whole number of selection chunks.  V2: 1024-wide
+    # chunks — less padded sweep work at the l4 site (see SWEEP_V2;
+    # SELECT_UNIT_V2 is a module knob so the chip A/B can isolate the
+    # sweep-body effect from the chunk-width effect)
+    base = SELECT_UNIT_V2 if SWEEP_V2 else _SELECT_M_CHUNK
+    unit = base if m > base else 512
     m_pad = -(-m // unit) * unit
     k_pad = -(-k // 128) * 128
 
-    chunk = min(_SELECT_M_CHUNK, m_pad)
+    chunk = min(base, m_pad)
     n_chunks = m_pad // chunk
 
     pc = jnp.pad(prev_xyz.astype(jnp.float32),
