@@ -91,6 +91,11 @@ def main() -> int:
                          "only the optimizer-trajectory section; the "
                          "pass criterion then covers the trajectory "
                          "alone")
+    ap.add_argument("--traj_seed", type=int, default=7,
+                    help="PRNG seed for the trajectory batches — "
+                         "independent seeds make the rounding-seeded-"
+                         "chaos conclusion control-paired across "
+                         "draws (VERDICT r4 #8)")
     args = ap.parse_args()
     print("threepu platform:", jax.default_backend(), flush=True)
 
@@ -219,7 +224,7 @@ def main() -> int:
     dataset = DeviceDataset(train_h5[0] if train_h5 else args.held,
                             5000, 312, batch_size=2,
                             up_ratio=16, step_ratio=2)
-    key = jax.random.PRNGKey(7)
+    key = jax.random.PRNGKey(args.traj_seed)
     batches = []
     for s in range(args.steps):
         r = ratios[s % len(ratios)]
