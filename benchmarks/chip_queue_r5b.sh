@@ -25,6 +25,12 @@ probe () {
 echo "=== chip queue r5b start $(date -u +%H:%M:%S) ==="
 probe || exit 1
 
+echo "=== verify_shard_select (check_vma fix) $(date -u +%H:%M:%S) ==="
+timeout 5400 python -u benchmarks/verify_shard_select.py
+echo "verify_shard_select rc=$? $(date -u +%H:%M:%S)"
+cp -f "$LOG" benchmarks/logs/chip_queue_r5b.log
+probe
+
 echo "=== interlevel_v2_bench $(date -u +%H:%M:%S) ==="
 timeout 5400 python -u benchmarks/interlevel_v2_bench.py --reps 3
 echo "interlevel_v2_bench rc=$? $(date -u +%H:%M:%S)"

@@ -247,3 +247,37 @@ class TestShardedInferenceCollectives:
                      if "while" in c[2] or "fps" in c[2]
                      or "top_k" in c[2] or "sort" in c[2]]
         assert offenders == [], offenders
+
+
+class TestKernelInsideShardMap:
+    def test_kernel_inside_shard_map_traces(self, rng):
+        """REGRESSION (chip_queue_r5a): on TPU the exact-selection
+        Pallas kernel engages INSIDE the shard_select shard_map body,
+        and pallas_call's un-annotated out_shape fails shard_map's
+        varying-manual-axes check ('vma must not be None') unless the
+        shard_map is built with check_vma=False.  The CPU mesh never
+        engaged the kernel (backend-gated), so this only ever failed on
+        chip — run the real dispatch path here via the interpret knob."""
+        from threepu.ops import knn as knn_mod
+
+        mesh = make_mesh(8)
+        pts = jnp.asarray(
+            rng.standard_normal((8, 16, 3)).astype(np.float32))
+        plain = knn_group(pts, pts, 4)
+        knn_mod.set_select_interpret(True)
+        jax.clear_caches()
+        try:
+            with shard_select(mesh):
+                ctx = jax.jit(
+                    lambda x: knn_group(x, x, 4))(pts)
+        finally:
+            knn_mod.set_select_interpret(False)
+            jax.clear_caches()
+        np.testing.assert_array_equal(np.asarray(plain.idx),
+                                      np.asarray(ctx.idx))
+        # dist2 values are verbatim gathers from each program's own
+        # distance matrix; eager vs jitted-shard_map programs may fuse
+        # the matmul-form distances differently -> float noise only
+        np.testing.assert_allclose(np.asarray(plain.dist2),
+                                   np.asarray(ctx.dist2),
+                                   rtol=1e-6, atol=1e-5)

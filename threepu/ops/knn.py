@@ -256,9 +256,18 @@ def _exact_select(d: jax.Array, k: int):
             from jax.sharding import PartitionSpec as P
 
             spec = P(axis, *([None] * (d.ndim - 1)))
+            # check_vma=False: the body can contain the Pallas selection
+            # kernel, whose pallas_call out_shape carries no varying-
+            # manual-axes annotation — with the checker on, the TPU
+            # trace fails ("vma on ShapeDtypeStruct must not be None";
+            # chip_queue_r5a.log).  The body is per-device pure with
+            # matching in/out specs, so the check adds nothing here.
+            # CPU regression: tests/test_collectives.py::
+            # test_kernel_inside_shard_map_traces (interpret knob).
             return jax.shard_map(
                 lambda x: _exact_select_local(x, k), mesh=mesh,
-                in_specs=(spec,), out_specs=(spec, spec))(d)
+                in_specs=(spec,), out_specs=(spec, spec),
+                check_vma=False)(d)
         # unsizeable site (none in the shipped sharded programs):
         # partition-safe sort rather than a GSPMD TopK all-gather
         return _sort_select(d, k)
