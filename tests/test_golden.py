@@ -101,9 +101,12 @@ def test_shipped_default_knobs():
     chip measurements that justified them (benchmarks/RESULTS.md)."""
     from threepu.ops import knn as knn_mod
     from threepu.ops import select_pallas as sp
+    from threepu.ops import interlevel_pallas as il
     from threepu import inference
 
     assert knn_mod.DEFAULT_METHOD == "exact"
+    assert il.SWEEP_V2 is False                      # round-5 chip A/B pending
+    assert il.SELECT_UNIT_V2 == 1024
     assert knn_mod.EXACT_SELECT_PALLAS is True       # round-4 chip A/B
     assert knn_mod.EXACT_SPLITS == 0                 # split-top-k loses 3-5x
     assert knn_mod._PALLAS_SELECT_MAX_K == 64        # cap-512 A/B: no win
